@@ -1,0 +1,223 @@
+"""MRI reconstruction metrics: PSNR / SSIM / NMSE / HFEN.
+
+Two tiers, mirroring the reference (SURVEY.md §2 metrics rows):
+
+* **Tensor-level** (jit-friendly JAX, used in training/val loops): semantics of
+  ``compute_mri_metrics`` in ``ResDif_execution.ipynb`` cell 29 — torchmetrics
+  PSNR/SSIM with ``data_range=1.0``, NMSE as the *un-squared* norm ratio, HFEN
+  via a fixed 3x3 Laplacian convolution.
+* **Folder-level** (:class:`MRIEvaluator`, CPU): semantics of
+  ``src/eval/eval.py`` — grayscale PNG pairs normalised to [0,1]; HFEN uses a
+  Laplacian-of-Gaussian (sigma=1.5) like skimage.  The reference's
+  ``count += 13`` accounting bug at eval.py:91 (which deflates every folder
+  average ~13x) is deliberately **not** replicated.
+
+SSIM matches torchmetrics' implementation: 11x11 Gaussian window with
+sigma=1.5, reflect padding of (k-1)//2, valid convolution, then the border is
+cropped from the index map before averaging; constants k1=0.01, k2=0.03.
+"""
+from __future__ import annotations
+
+import functools
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Tensor-level metrics (JAX)
+# ---------------------------------------------------------------------------
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
+    """Peak signal-to-noise ratio over the full batch (torchmetrics default)."""
+    mse = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+    return 10.0 * jnp.log10(data_range**2 / mse)
+
+
+def _gaussian_kernel1d(size: int, sigma: float) -> jnp.ndarray:
+    coords = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(coords**2) / (2.0 * sigma**2))
+    return g / jnp.sum(g)
+
+
+def _filter2d_valid(x: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2D filter, valid padding. x: [B, C, H, W]."""
+    b, c, h, w = x.shape
+    kh = k1d.reshape(1, 1, -1, 1)
+    kw = k1d.reshape(1, 1, 1, -1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = x.reshape(b * c, 1, h, w)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn)
+    return x.reshape(b, c, x.shape[-2], x.shape[-1])
+
+
+def ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Structural similarity, torchmetrics-compatible. Inputs [B, C, H, W]."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    pad = (kernel_size - 1) // 2
+    pw = [(0, 0), (0, 0), (pad, pad), (pad, pad)]
+    p = jnp.pad(pred, pw, mode="reflect")
+    t = jnp.pad(target, pw, mode="reflect")
+
+    k = _gaussian_kernel1d(kernel_size, sigma)
+    mu_p = _filter2d_valid(p, k)
+    mu_t = _filter2d_valid(t, k)
+    mu_pp = _filter2d_valid(p * p, k)
+    mu_tt = _filter2d_valid(t * t, k)
+    mu_pt = _filter2d_valid(p * t, k)
+
+    sigma_p = mu_pp - mu_p**2
+    sigma_t = mu_tt - mu_t**2
+    sigma_pt = mu_pt - mu_p * mu_t
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    upper = (2 * mu_p * mu_t + c1) * (2 * sigma_pt + c2)
+    lower = (mu_p**2 + mu_t**2 + c1) * (sigma_p + sigma_t + c2)
+    ssim_map = upper / lower
+    # Crop the padded border from the index map (torchmetrics semantics).
+    interior = ssim_map[..., pad:-pad, pad:-pad] if pad > 0 else ssim_map
+    return jnp.mean(interior)
+
+
+def nmse(pred: jnp.ndarray, target: jnp.ndarray, squared: bool = False) -> jnp.ndarray:
+    """Normalised MSE.
+
+    ``squared=False`` (default) matches the tensor-level reference
+    (``norm(target - pred) / norm(target)``, cell 29); ``squared=True`` matches
+    ``src/eval/eval.py:39-51`` (ratio of squared norms).
+    """
+    num = jnp.linalg.norm((target - pred).ravel())
+    den = jnp.linalg.norm(target.ravel())
+    if squared:
+        return num**2 / (den**2 + 1e-8)
+    return num / den
+
+
+_LAPLACIAN_3x3 = np.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], np.float32)
+
+
+def _laplacian_conv(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 Laplacian with zero 'same' padding. x: [B, C, H, W] (C folded)."""
+    b, c, h, w = x.shape
+    k = jnp.asarray(_LAPLACIAN_3x3).reshape(1, 1, 3, 3)
+    dn = jax.lax.conv_dimension_numbers((b * c, 1, h, w), k.shape, ("NCHW", "OIHW", "NCHW"))
+    y = jax.lax.conv_general_dilated(
+        x.reshape(b * c, 1, h, w), k, (1, 1), "SAME", dimension_numbers=dn
+    )
+    return y.reshape(b, c, h, w)
+
+
+def hfen_laplacian(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """High-frequency error norm with the fixed 3x3 Laplacian (cell 29)."""
+    lp = _laplacian_conv(pred.astype(jnp.float32))
+    lt = _laplacian_conv(target.astype(jnp.float32))
+    return jnp.linalg.norm((lt - lp).ravel()) / jnp.linalg.norm(lt.ravel())
+
+
+@functools.partial(jax.jit, static_argnames=("data_range",))
+def compute_mri_metrics(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0):
+    """(PSNR, SSIM, NMSE, HFEN) on [B, C, H, W] tensors — cell 29 semantics."""
+    return (
+        psnr(pred, target, data_range),
+        ssim(pred, target, data_range),
+        nmse(pred, target),
+        hfen_laplacian(pred, target),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Folder-level metrics (CPU / numpy)
+# ---------------------------------------------------------------------------
+
+def hfen_log(pred: np.ndarray, target: np.ndarray, sigma: float = 1.5) -> float:
+    """HFEN with a Laplacian-of-Gaussian filter (eval.py:18-37 semantics).
+
+    skimage is not available in this image; ``scipy.ndimage`` provides the
+    same gaussian (mode='nearest', truncate=4) and 3x3 laplace (mode='reflect')
+    primitives skimage wraps.
+    """
+    from scipy.ndimage import gaussian_filter, laplace
+
+    lo_p = laplace(gaussian_filter(np.asarray(pred, np.float64), sigma=sigma, mode="nearest"))
+    lo_t = laplace(gaussian_filter(np.asarray(target, np.float64), sigma=sigma, mode="nearest"))
+    num = np.linalg.norm(lo_p - lo_t)
+    den = np.linalg.norm(lo_t)
+    return float(num / (den + 1e-8))
+
+
+class MRIEvaluator:
+    """Folder-vs-folder evaluation of generated vs ground-truth images.
+
+    Native equivalent of ``src/eval/eval.py:9-116`` with the ``count += 13``
+    bug fixed: each successfully processed pair increments the count by 1.
+    """
+
+    EXTS = ("*.png", "*.jpg", "*.JPG")
+
+    def __init__(self, verbose: bool = True):
+        self.verbose = verbose
+
+    @staticmethod
+    def _load_gray(path: str) -> np.ndarray | None:
+        from PIL import Image
+
+        try:
+            with Image.open(path) as im:
+                return np.asarray(im.convert("L"), dtype=np.float32) / 255.0
+        except Exception:
+            return None
+
+    def evaluate_folders(self, generated_dir: str, ground_truth_dir: str):
+        gen_files = sorted(
+            f for ext in self.EXTS for f in glob.glob(os.path.join(generated_dir, ext))
+        )
+        gt_files = sorted(
+            f for ext in self.EXTS for f in glob.glob(os.path.join(ground_truth_dir, ext))
+        )
+        if len(gen_files) != len(gt_files) and self.verbose:
+            print(f"Warning: file count mismatch. Gen: {len(gen_files)}, GT: {len(gt_files)}")
+
+        sums = {"PSNR": 0.0, "SSIM": 0.0, "HFEN": 0.0, "NMSE": 0.0}
+        count = 0
+        for gen_path, gt_path in zip(gen_files, gt_files):
+            img_gen = self._load_gray(gen_path)
+            img_gt = self._load_gray(gt_path)
+            if img_gen is None or img_gt is None:
+                if self.verbose:
+                    print(f"Error reading pair: {gen_path}")
+                continue
+            tg = jnp.asarray(img_gen)[None, None]
+            tt = jnp.asarray(img_gt)[None, None]
+            sums["PSNR"] += float(psnr(tg, tt))
+            sums["SSIM"] += float(ssim(tg, tt))
+            sums["HFEN"] += hfen_log(img_gen, img_gt)
+            sums["NMSE"] += float(nmse(tg, tt, squared=True))
+            count += 1
+
+        if count == 0:
+            if self.verbose:
+                print("No images processed.")
+            return None
+        results = {k: v / count for k, v in sums.items()}
+        results["count"] = count
+        if self.verbose:
+            print(
+                f"PSNR {results['PSNR']:.4f} dB | SSIM {results['SSIM']:.4f} | "
+                f"NMSE {results['NMSE']:.4f} | HFEN {results['HFEN']:.4f} "
+                f"({count} pairs)"
+            )
+        return results

@@ -1,0 +1,167 @@
+"""Grayscale ResDiff UNet — the flagship Stage-2 denoiser, rebuilt natively.
+
+The reference's actual denoiser lives in the runtime-cloned LYL1015/ResDiff
+repo, grayscale-specialised by notebook monkey-patches (SURVEY.md §1
+"vendored-at-runtime dependency"; forward semantics re-derived from
+``ResDif_execution.ipynb`` cells 8-9 and the config at cell 37):
+
+* Input: ``concat([cnn_sr, x_t])`` on channels (2ch) + continuous noise
+  level gamma.  The two halves are split internally (cell 9 / cell 8).
+* ``FDInfoSpliter`` expands to 5 channels:
+  ``[x_t, cnn_sr, denoise_x, x_lf_feature, x_hf_feature]`` via a learned
+  noise-suppression SE path and an FFT Gaussian split with learned sigma
+  (cell 8 ``FD_Info_Spliter_New``).
+* SR3 backbone: inner=32, mults (1,2,4,4), 1 res-block/level, attn_res {8},
+  GroupNorm(16), dropout 0.2 (cell 37 "unet" block).  With 256^2 inputs and
+  three downsamples the resolutions are 256/128/64/32, so the self-attention
+  at res 8 never fires — only the mid block carries self-attention, exactly
+  as in the reference configuration.
+* Haar DWT band-pass sums of the CNN image at levels 1..3 feed HF-guided
+  cross-attention on each post-downsample skip connection (cell 9: the CA
+  output goes into the *skip*, while the trunk continues unchanged).
+
+TPU-native departures: NHWC layout, cross-attention runs q-chunked /
+flash-style instead of materialising the (HW)^2 einsum, and the whole module
+is shape-static for ``jit``/``lax.scan``.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mrisr_tpu.models.layers import (
+    Downsample,
+    HFGuidedCrossAttention,
+    NoiseLevelMLP,
+    ResnetBlockWithAttn,
+    SEBlock,
+    Upsample,
+    ConvBlock,
+)
+from mrisr_tpu.ops.fourier import gaussian_highpass_split
+from mrisr_tpu.ops.wavelets import haar_dwt_highpass_sum
+
+
+class FDInfoSpliter(nn.Module):
+    """Frequency-domain information splitter (cell 8 semantics, NHWC).
+
+    Input ``[B, H, W, 2]`` = concat(cnn_sr, x_t); emits ``[B, H, W, 5]``.
+    """
+
+    emb_dim: int
+    image_size: int
+    reduction: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, noise_emb: jnp.ndarray) -> jnp.ndarray:
+        cnn_x = x[..., 0:1]
+        xt = x[..., 1:2]
+        b, h, w, _ = x.shape
+
+        # Noise-image suppression: embed -> one row, broadcast down H.
+        row = nn.Dense(self.image_size, name="noise_func")(noise_emb)  # [B, W]
+        noise_img = jnp.broadcast_to(row[:, None, :, None], (b, h, self.image_size, 1))
+        noise_atten = SEBlock(self.reduction, name="noise_resSE")(noise_img)
+        denoise_x = xt * noise_atten
+
+        # FFT of the CNN estimate (2D over H, W; see ops/fourier.py notes).
+        xf = jnp.fft.fft2(cnn_x[..., 0].astype(jnp.float32))  # [B, H, W] complex
+        x_fd = jnp.stack([xf.real, xf.imag], axis=-1)  # [B, H, W, 2]
+
+        # Learned sigma: |mean over channels of SE-pooled map| + size/2,
+        # clamped to size-10 (cell 8 numerical stabilisation).
+        se_fd = SEBlock(self.reduction, name="sigma_resSE")(x_fd)
+        pooled = jnp.mean(se_fd, axis=(1, 2))  # [B, 2]
+        sigma_pre = jnp.abs(jnp.mean(pooled, axis=-1)) + self.image_size / 2.0  # [B]
+        sigma = jnp.minimum(sigma_pre, float(self.image_size - 10))
+
+        xf_filtered, hf_abs = gaussian_highpass_split(
+            cnn_x.transpose(0, 3, 1, 2), sigma[:, None]
+        )  # NCHW helpers
+        x_fd_filtered = jnp.stack(
+            [xf_filtered[:, 0].real, xf_filtered[:, 0].imag], axis=-1
+        )  # [B, H, W, 2]
+        hf_guided = SEBlock(self.reduction, name="HF_guided_resSE")(x_fd_filtered)
+        atten = nn.Conv(1, (1, 1), name="channel_transform")(hf_guided)
+        x_lf = cnn_x * atten
+        x_hf = hf_abs.transpose(0, 2, 3, 1)  # [B, H, W, 1]
+
+        return jnp.concatenate([xt, cnn_x, denoise_x, x_lf, x_hf], axis=-1)
+
+
+class ResDiffUNet(nn.Module):
+    """SR3 backbone + FD splitter + DWT-guided skip cross-attention."""
+
+    image_size: int = 256
+    inner_channel: int = 32
+    channel_mults: Sequence[int] = (1, 2, 4, 4)
+    res_blocks: int = 1
+    attn_res: Sequence[int] = (8,)
+    norm_groups: int = 16
+    dropout: float = 0.2
+    out_channels: int = 1
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, gamma: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """``x``: [B, H, W, 2] = concat(cnn_sr, x_t) on channels; ``gamma``: [B]."""
+        n_levels = len(self.channel_mults)
+        n_down = n_levels - 1
+
+        cnn_x = x[..., 0:1]
+        dwt_queries = haar_dwt_highpass_sum(
+            cnn_x.transpose(0, 3, 1, 2), n_down
+        )  # list of [B, 1, h, w], NCHW from the op
+        dwt_queries = [q.transpose(0, 2, 3, 1) for q in dwt_queries]
+
+        emb = NoiseLevelMLP(self.inner_channel)(gamma)
+
+        h = FDInfoSpliter(self.inner_channel, self.image_size)(x, emb)
+        h = nn.Conv(self.inner_channel, (3, 3), padding="SAME", name="conv_in")(h)
+
+        feats = [h]
+        feat_ch = [self.inner_channel]
+        now_res = x.shape[1]
+        pre = self.inner_channel
+        for i, mult in enumerate(self.channel_mults):
+            ch = self.inner_channel * mult
+            use_attn = now_res in self.attn_res
+            for _ in range(self.res_blocks):
+                h = ResnetBlockWithAttn(ch, self.norm_groups, self.dropout, use_attn)(
+                    h, emb, deterministic
+                )
+                feats.append(h)
+                feat_ch.append(ch)
+            pre = ch
+            if i != n_levels - 1:
+                h = Downsample(pre)(h)
+                now_res //= 2
+                # Skip connection is the CA-modulated map; trunk continues as h.
+                ca = HFGuidedCrossAttention(self.norm_groups)(h, dwt_queries[i])
+                feats.append(ca)
+                feat_ch.append(pre)
+
+        h = ResnetBlockWithAttn(pre, self.norm_groups, self.dropout, True)(
+            h, emb, deterministic
+        )
+        h = ResnetBlockWithAttn(pre, self.norm_groups, self.dropout, False)(
+            h, emb, deterministic
+        )
+
+        for i, mult in enumerate(reversed(self.channel_mults)):
+            ch = self.inner_channel * mult
+            use_attn = now_res in self.attn_res
+            for _ in range(self.res_blocks + 1):
+                skip = feats.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlockWithAttn(ch, self.norm_groups, self.dropout, use_attn)(
+                    h, emb, deterministic
+                )
+            if i != n_levels - 1:
+                h = Upsample(ch)(h)
+                now_res *= 2
+
+        return ConvBlock(self.out_channels, self.norm_groups, name="final_conv")(h)

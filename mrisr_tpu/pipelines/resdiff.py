@@ -1,0 +1,73 @@
+"""Two-stage ResDiff super-resolution pipeline (flagship workload).
+
+Stage 1: SimpleCNN predicts the low-frequency SR estimate from LR.
+Stage 2: the ResDiff UNet denoises the residual ``HR - cnn_sr`` with an
+SR3 gamma-conditioned chain; final output is ``cnn_sr + residual``.
+
+Matches the reference call stack (SURVEY.md §3.3): the notebook wrapper
+feeds ``{'SR': cnn(lr), 'HR': hr}`` (cell 40) into the cloned ResDiff
+``GaussianDiffusion``; here both stages and the whole K-step chain compile
+into one jitted program, with the public signature preserved:
+**condition (LR) image in -> SR slice out**.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from mrisr_tpu.diffusion.schedules import Schedule
+from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+from mrisr_tpu.models.simple_cnn import SimpleCNN
+from mrisr_tpu.pipelines.sampler import sr3_ancestral_sample
+
+
+class ResDiffPipeline:
+    """Bundles SimpleCNN + ResDiffUNet + schedule into a jitted SR call."""
+
+    def __init__(
+        self,
+        cnn: SimpleCNN,
+        unet: ResDiffUNet,
+        sched: Schedule,
+        cnn_params: Any,
+        unet_params: Any,
+    ):
+        self.cnn = cnn
+        self.unet = unet
+        self.sched = sched
+        self.cnn_params = cnn_params
+        self.unet_params = unet_params
+
+    def stage1(self, lr: jnp.ndarray) -> jnp.ndarray:
+        return self.cnn.apply(self.cnn_params, lr)
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps", "spacing"))
+    def super_resolve(
+        self,
+        lr: jnp.ndarray,
+        key: jax.Array,
+        num_steps: int | None = 50,
+        spacing: str = "trailing",
+    ) -> jnp.ndarray:
+        """LR ``[B, H, W, 1]`` -> SR ``[B, H, W, 1]``, fully fused."""
+        cnn_sr = self.cnn.apply(self.cnn_params, lr)
+
+        def eps_fn(x_t, gamma):
+            inp = jnp.concatenate([cnn_sr, x_t], axis=-1)
+            return self.unet.apply(self.unet_params, inp, gamma)
+
+        key, k0 = jax.random.split(key)
+        x_T = jax.random.normal(k0, cnn_sr.shape, cnn_sr.dtype)
+        residual = sr3_ancestral_sample(
+            self.sched, eps_fn, x_T, key, num_steps=num_steps, spacing=spacing
+        )
+        return cnn_sr + residual
+
+    def __hash__(self):  # allow use as a static jit arg
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other

@@ -1,0 +1,107 @@
+"""Jitted train/eval steps for every workload.
+
+One factory per pipeline; each returns a pure jitted function
+``(state, batch, key) -> (state, metrics)``.  Batches are NHWC dicts.
+
+Semantics sources:
+* Stage-1 CNN (``train_cnn``, ResDif_execution.ipynb cell 29): Adam 1e-4,
+  image-compare loss on ``cnn(lr)`` vs HR.
+* ResDiff Stage-2 (cells 37/46 + SR3 driver): continuous-gamma q-sample of
+  the residual ``HR - cnn_sr``, eps-prediction MSE.
+* MNIST (MNIST_Super_Resolution.ipynb cell 9): plain MSE regression, plus
+  the intended-DDPM mode.
+* Latent/PEFT path: epsilon-prediction on VAE latents with Res-SRDiff
+  shifting (reconstructed from src/adapters/* — see train/latent.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from mrisr_tpu.diffusion import ddpm, sr3
+from mrisr_tpu.diffusion.schedules import Schedule
+from mrisr_tpu.train.losses import image_compare_loss, l2
+from mrisr_tpu.train.state import TrainState
+
+
+def make_cnn_train_step(model) -> Callable:
+    @jax.jit
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        def loss_fn(params):
+            pred = model.apply(params, batch["lr"])
+            return image_compare_loss(pred, batch["hr"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    return step
+
+
+def make_resdiff_train_step(unet, sched: Schedule) -> Callable:
+    """Stage-2: diffuse the residual (HR - cnn_sr), predict eps, MSE."""
+
+    @jax.jit
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        sr, hr = batch["sr"], batch["hr"]
+        B = hr.shape[0]
+        k_t, k_g, k_eps, k_drop = jax.random.split(key, 4)
+        t = jax.random.randint(k_t, (B,), 0, sched.num_timesteps)
+        gamma = sr3.sample_gamma(sched, t, k_g)
+        eps = jax.random.normal(k_eps, hr.shape, hr.dtype)
+        x0 = hr - sr
+        x_t = sr3.q_sample_gamma(x0, gamma, eps)
+
+        def loss_fn(params):
+            inp = jnp.concatenate([sr, x_t], axis=-1)
+            eps_pred = unet.apply(
+                params, inp, gamma, deterministic=False, rngs={"dropout": k_drop}
+            )
+            return l2(eps_pred, eps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    return step
+
+
+def make_mnist_regression_step(model) -> Callable:
+    @jax.jit
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        def loss_fn(params):
+            pred = model.apply(params, batch["lr_up"])
+            return l2(pred, batch["hr"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    return step
+
+
+def make_mnist_ddpm_step(model, sched: Schedule) -> Callable:
+    """Conditional DDPM: model(concat(x_t, lr_up), t) -> eps."""
+
+    @jax.jit
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        hr, lr_up = batch["hr"], batch["lr_up"]
+        B = hr.shape[0]
+        k_t, k_eps = jax.random.split(key)
+        t = jax.random.randint(k_t, (B,), 0, sched.num_timesteps)
+        eps = jax.random.normal(k_eps, hr.shape, hr.dtype)
+        x_t = ddpm.q_sample(sched, hr, t, eps)
+
+        def loss_fn(params):
+            inp = jnp.concatenate([x_t, lr_up], axis=-1)
+            eps_pred = model.apply(params, inp, t, batch.get("label"))
+            return l2(eps_pred, eps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    return step

@@ -1,0 +1,36 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The reference repo has no tests (SURVEY.md §4); this suite is designed from
+scratch.  All tests run on CPU with 8 virtual devices so multi-chip sharding
+(`jax.sharding.Mesh`) is exercised without TPU hardware, per the build plan in
+SURVEY.md §7.
+"""
+import os
+
+# The image's sitecustomize registers a remote-TPU ("axon") backend and
+# forces jax_platforms="axon,cpu" programmatically, so the env var alone is
+# not enough — we must override via jax.config before any backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrisr_tpu.models.simple_cnn import SimpleCNN
+from mrisr_tpu.models.mnist_unet import MNISTUNet
+from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+
+
+def test_simple_cnn_shapes_and_residual(key):
+    model = SimpleCNN(scale_factor=1)
+    x = jnp.zeros((2, 32, 32, 1))
+    params = model.init(key, x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 32, 32, 1)
+    # zero input + zero-init last conv bias -> residual passthrough keeps zeros finite
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_simple_cnn_upscale(key):
+    model = SimpleCNN(scale_factor=2)
+    x = jnp.ones((1, 8, 8, 1))
+    params = model.init(key, x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 16, 1)
+
+
+def test_mnist_unet_regression_mode(key):
+    model = MNISTUNet(channels=(8, 16))
+    x = jnp.zeros((2, 28, 28, 1))
+    params = model.init(key, x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 28, 28, 1)
+
+
+def test_mnist_unet_ddpm_mode_conditioned(key):
+    model = MNISTUNet(channels=(8, 16), num_classes=10)
+    x = jnp.zeros((2, 28, 28, 2))  # x_t + upsampled LR
+    t = jnp.array([10, 500])
+    y_lbl = jnp.array([3, 7])
+    params = model.init(key, x, t, y_lbl)
+    out = model.apply(params, x, t, y_lbl)
+    assert out.shape == (2, 28, 28, 1)
+    # Different timesteps must change the output (time conditioning works)
+    out2 = model.apply(params, x, jnp.array([999, 999]), y_lbl)
+    assert float(jnp.abs(out - out2).max()) > 1e-6
+
+
+def test_resdiff_unet_forward(key):
+    """Small-size smoke: 64x64 image, full architecture."""
+    model = ResDiffUNet(image_size=64)
+    x = jnp.zeros((1, 64, 64, 2))
+    gamma = jnp.array([0.5])
+    params = model.init(key, x, gamma)
+    y = model.apply(params, x, gamma)
+    assert y.shape == (1, 64, 64, 1)
+
+
+def test_resdiff_unet_jit_and_grad(key):
+    model = ResDiffUNet(image_size=32, inner_channel=8, norm_groups=4)
+    x = jax.random.normal(key, (1, 32, 32, 2))
+    gamma = jnp.array([0.7])
+    params = model.init(key, x, gamma)
+
+    @jax.jit
+    def loss_fn(p):
+        return jnp.mean(model.apply(p, x, gamma) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # Every parameter should receive some gradient signal somewhere
+    total = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert total > 0
+
+
+def test_resdiff_unet_gamma_conditioning(key):
+    model = ResDiffUNet(image_size=32, inner_channel=8, norm_groups=4)
+    x = jax.random.normal(key, (1, 32, 32, 2))
+    params = model.init(key, x, jnp.array([0.5]))
+    y1 = model.apply(params, x, jnp.array([0.9]))
+    y2 = model.apply(params, x, jnp.array([0.1]))
+    assert float(jnp.abs(y1 - y2).max()) > 1e-6
