@@ -47,6 +47,6 @@ def ddim_step(
     if eta > 0.0:
         if key is None:
             raise ValueError("eta > 0 requires a PRNG key")
-        noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+        noise = jax.random.normal(key, x_t.shape, jnp.float32)
         x_prev = x_prev + sigma * noise
-    return x_prev
+    return x_prev.astype(x_t.dtype)  # keep lax.scan carry dtype stable

@@ -74,10 +74,11 @@ def p_step(
     if clip_x0:
         x0 = jnp.clip(x0, -1.0, 1.0)
     mean, _, log_var = posterior_mean_variance(sched, x0, x_t, t)
-    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
-    nonzero = (t > 0).astype(x_t.dtype)
+    noise = jax.random.normal(key, x_t.shape, jnp.float32)
+    nonzero = (t > 0).astype(jnp.float32)
     nonzero = jnp.reshape(nonzero, nonzero.shape + (1,) * (x_t.ndim - nonzero.ndim))
-    return mean + nonzero * jnp.exp(0.5 * log_var) * noise
+    out = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+    return out.astype(x_t.dtype)  # keep lax.scan carry dtype stable (bf16 path)
 
 
 def mse_loss(eps_pred: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:

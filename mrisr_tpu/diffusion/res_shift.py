@@ -69,7 +69,8 @@ def shift_reverse_step(
     variance = jnp.sqrt(
         jnp.maximum((1.0 - ac_prev) / (1.0 - ac_t) * (1.0 - ac_t / ac_prev), 0.0)
     )
-    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
-    add = (t_prev > 0).astype(x_t.dtype)
+    noise = jax.random.normal(key, x_t.shape, jnp.float32)
+    add = (t_prev > 0).astype(jnp.float32)
     add = jnp.reshape(add, add.shape + (1,) * (x_t.ndim - add.ndim))
-    return x_prev + add * variance * noise
+    out = x_prev + add * variance * noise
+    return out.astype(x_t.dtype)  # keep lax.scan carry dtype stable
