@@ -1,0 +1,381 @@
+"""Command-line interface.
+
+The reference has no CLI (``import argparse`` unused — SURVEY.md §5 config
+row); this provides the missing operational surface:
+
+    python -m mrisr_tpu.cli preprocess-slices  --data-dir ... --out ...
+    python -m mrisr_tpu.cli export-png         --source ... --dest ...
+    python -m mrisr_tpu.cli build-index        --root ... --out index.json
+    python -m mrisr_tpu.cli train-cnn          [--config c.yaml] ...
+    python -m mrisr_tpu.cli train-resdiff      [--config c.yaml] ...
+    python -m mrisr_tpu.cli train-mnist        [--mode regression|ddpm]
+    python -m mrisr_tpu.cli sr-volume          --checkpoint ... --input vol.nii.gz
+    python -m mrisr_tpu.cli evaluate           --gen DIR --gt DIR
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--config", default=None, help="YAML/JSON config file")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--seed", type=int, default=42)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mrisr_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("preprocess-slices", help="BIDS NIfTI pairs -> per-slice npz")
+    _add_common(p)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--axis", type=int, default=2)
+
+    p = sub.add_parser("export-png", help="npz slices -> PNG + metadata.jsonl")
+    p.add_argument("--source", required=True)
+    p.add_argument("--dest", required=True)
+
+    p = sub.add_parser("build-index", help="DICOM tree -> patient index JSON")
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("train-mnist", help="MNIST 14->28 toy SR")
+    _add_common(p)
+    p.add_argument("--mode", choices=["regression", "ddpm"], default="ddpm")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--out", default="./outputs/mnist")
+
+    p = sub.add_parser("train-cnn", help="Stage-1 SimpleCNN training")
+    _add_common(p)
+    p.add_argument("--index", required=False, help="patient index JSON")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--out", default="./outputs/cnn")
+
+    p = sub.add_parser("train-resdiff", help="Stage-2 ResDiff diffusion training")
+    _add_common(p)
+    p.add_argument("--index", required=False)
+    p.add_argument("--cnn-checkpoint", default=None)
+    p.add_argument("--steps", type=int, default=100000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--out", default="./outputs/resdiff")
+
+    p = sub.add_parser("sr-volume", help="NIfTI volume -> SR NIfTI volume")
+    _add_common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--ddim-steps", type=int, default=50)
+    p.add_argument("--batch", type=int, default=8)
+
+    p = sub.add_parser("evaluate", help="folder-vs-folder MRI metrics")
+    p.add_argument("--gen", required=True)
+    p.add_argument("--gt", required=True)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.add_argument("--cpu-smoke", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.cmd == "preprocess-slices":
+        return _preprocess_slices(args)
+    if args.cmd == "export-png":
+        from mrisr_tpu.data.export import export_png_dataset
+
+        n = export_png_dataset(args.source, args.dest)
+        print(f"exported {n} pairs to {args.dest}")
+        return 0
+    if args.cmd == "build-index":
+        from mrisr_tpu.data.datasets import build_patient_index
+
+        idx = build_patient_index(args.root, args.out)
+        print(f"indexed {len(idx)} patients -> {args.out}")
+        return 0
+    if args.cmd == "train-mnist":
+        return _train_mnist(args)
+    if args.cmd == "train-cnn":
+        return _train_cnn(args)
+    if args.cmd == "train-resdiff":
+        return _train_resdiff(args)
+    if args.cmd == "sr-volume":
+        return _sr_volume(args)
+    if args.cmd == "evaluate":
+        from mrisr_tpu.eval.metrics import MRIEvaluator
+
+        MRIEvaluator().evaluate_folders(args.gen, args.gt)
+        return 0
+    if args.cmd == "bench":
+        from bench import main as bench_main
+
+        sys.argv = ["bench.py"] + (["--cpu-smoke"] if args.cpu_smoke else [])
+        bench_main()
+        return 0
+    return 1
+
+
+def _preprocess_slices(args):
+    import numpy as np
+
+    from mrisr_tpu.data.bids import get_data_dicts
+    from mrisr_tpu.data.nifti import read_nifti, to_ras
+    from mrisr_tpu.data.slices import scale_intensity_range, volume_to_slices
+    from pathlib import Path
+    import jax
+
+    pairs = get_data_dicts(args.data_dir)
+    print(f"found {len(pairs)} paired scans")
+    out = Path(args.out) / "axial"
+    out.mkdir(parents=True, exist_ok=True)
+    for i, pair in enumerate(pairs):
+        vols = {}
+        for k in ("lr", "hr"):
+            img = to_ras(read_nifti(pair[k]))
+            v = scale_intensity_range(img.data, 0, 1000)
+            v = np.asarray(
+                jax.image.resize(v, (512, 512, 128), "linear")
+            )  # MONAI ResizeD(512,512,128) equivalent
+            vols[k] = v
+        for s, (lr_s, hr_s) in enumerate(volume_to_slices(vols["lr"], vols["hr"], args.axis)):
+            np.savez_compressed(out / f"axial_vol_{i:03d}_{s:04d}.npz", lr=lr_s, hr=hr_s)
+        print(f"vol_{i:03d}: {vols['lr'].shape[args.axis]} slices")
+    return 0
+
+
+def _train_mnist(args):
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.data.datasets import MNISTSRDataset
+    from mrisr_tpu.data.loader import Loader
+    from mrisr_tpu.diffusion.schedules import mnist_schedule
+    from mrisr_tpu.models.mnist_unet import MNISTUNet
+    from mrisr_tpu.ops.resize import interpolate_like_torch
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+    from mrisr_tpu.train.steps import make_mnist_ddpm_step, make_mnist_regression_step
+    from mrisr_tpu.utils.checkpoint import CheckpointManager
+    from mrisr_tpu.utils.logging import MetricLogger
+
+    key = jax.random.PRNGKey(args.seed)
+    ds = MNISTSRDataset(args.data_dir)
+    loader = Loader(ds, batch_size=args.batch, shuffle=True, seed=args.seed)
+    model = MNISTUNet(num_classes=10)
+    in_ch = 1 if args.mode == "regression" else 2
+    params = model.init(
+        key, jnp.zeros((1, 28, 28, in_ch)), jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)
+    )
+    state = create_train_state(model.apply, params, make_optimizer(1e-3))
+    sched = mnist_schedule(1000)
+    step_fn = (
+        make_mnist_regression_step(model)
+        if args.mode == "regression"
+        else make_mnist_ddpm_step(model, sched)
+    )
+    logger = MetricLogger(args.out)
+    mgr = CheckpointManager(f"{args.out}/ckpt")
+    i = 0
+    while i < args.steps:
+        for batch in loader:
+            if i >= args.steps:
+                break
+            lr_up = interpolate_like_torch(
+                jnp.asarray(batch["lr"]).transpose(0, 3, 1, 2), (28, 28)
+            ).transpose(0, 2, 3, 1)
+            b = {"hr": jnp.asarray(batch["hr"]), "lr_up": lr_up, "label": jnp.asarray(batch["label"])}
+            state, m = step_fn(state, b, jax.random.fold_in(key, i))
+            if i % 50 == 0:
+                logger.log(i, m)
+            i += 1
+    mgr.save(i, state, force=True)
+    mgr.close()
+    print(f"done; checkpoint at {args.out}/ckpt")
+    return 0
+
+
+def _train_cnn(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mrisr_tpu.data.loader import Loader
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+    from mrisr_tpu.train.steps import make_cnn_train_step
+    from mrisr_tpu.utils.checkpoint import CheckpointManager
+    from mrisr_tpu.utils.logging import MetricLogger
+
+    ds = _resolve_dataset(args)
+    loader = Loader(ds, batch_size=args.batch, shuffle=True, seed=args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    cnn = SimpleCNN()
+    params = cnn.init(key, jnp.zeros((1, args.resolution, args.resolution, 1)))
+    state = create_train_state(cnn.apply, params, make_optimizer(1e-4))
+    step = make_cnn_train_step(cnn)
+    logger = MetricLogger(args.out)
+    mgr = CheckpointManager(f"{args.out}/ckpt")
+    i = 0
+    while i < args.steps:
+        for batch in loader:
+            if i >= args.steps:
+                break
+            b = {
+                "lr": jnp.asarray(np.asarray(batch["lr"], np.float32)),
+                "hr": jnp.asarray(np.asarray(batch["hr"], np.float32)),
+            }
+            state, m = step(state, b, jax.random.fold_in(key, i))
+            if i % 20 == 0:
+                logger.log(i, m)
+            i += 1
+    mgr.save(i, state, force=True)
+    mgr.close()
+    return 0
+
+
+def _train_resdiff(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mrisr_tpu.data.loader import Loader
+    from mrisr_tpu.diffusion.schedules import resdiff_schedule
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+    from mrisr_tpu.train.steps import make_resdiff_train_step
+    from mrisr_tpu.utils.checkpoint import CheckpointManager
+    from mrisr_tpu.utils.logging import MetricLogger
+
+    ds = _resolve_dataset(args)
+    loader = Loader(ds, batch_size=args.batch, shuffle=True, seed=args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    cnn = SimpleCNN()
+    cnn_params = cnn.init(key, jnp.zeros((1, args.resolution, args.resolution, 1)))
+    if args.cnn_checkpoint:
+        from mrisr_tpu.train.state import create_train_state as cts
+
+        cnn_state = cts(cnn.apply, cnn_params, make_optimizer(1e-4))
+        mgr0 = CheckpointManager(args.cnn_checkpoint)
+        cnn_params = mgr0.restore(cnn_state).params
+        mgr0.close()
+
+    unet = ResDiffUNet(image_size=args.resolution)
+    params = unet.init(
+        key, jnp.zeros((1, args.resolution, args.resolution, 2)), jnp.array([0.5])
+    )
+    state = create_train_state(unet.apply, params, make_optimizer(1e-5), ema_decay=0.999)
+    step = make_resdiff_train_step(unet, resdiff_schedule(1000))
+    logger = MetricLogger(args.out)
+    mgr = CheckpointManager(f"{args.out}/ckpt")
+
+    cnn_apply = jax.jit(cnn.apply)
+    i = 0
+    while i < args.steps:
+        for batch in loader:
+            if i >= args.steps:
+                break
+            lr = jnp.asarray(np.asarray(batch["lr"], np.float32))
+            hr = jnp.asarray(np.asarray(batch["hr"], np.float32))
+            sr = cnn_apply(cnn_params, lr)
+            state, m = step(state, {"sr": sr, "hr": hr}, jax.random.fold_in(key, i))
+            if i % 100 == 0:
+                logger.log(i, m)
+            if i > 0 and i % 2000 == 0:
+                mgr.save(i, state)
+            i += 1
+    mgr.save(i, state, force=True)
+    mgr.close()
+    return 0
+
+
+def _resolve_dataset(args):
+    from mrisr_tpu.data.datasets import FastMRISliceDataset
+
+    if getattr(args, "index", None):
+        return FastMRISliceDataset(
+            json_path=args.index, target_size=(args.resolution, args.resolution)
+        )
+    # Hermetic fallback: synthetic phantom slices (documented; real runs
+    # pass --index to use the FastMRI DICOM tree).
+    import numpy as np
+
+    from mrisr_tpu.data.degrade import simulate_low_res_np
+
+    class Phantom:
+        def __init__(self, n=64, res=args.resolution):
+            self.n, self.res = n, res
+            yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
+            self.grid = (yy, xx)
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            yy, xx = self.grid
+            r = self.res
+            img = np.zeros((r, r), np.float32)
+            for _ in range(6):
+                cy, cx = rng.uniform(r * 0.2, r * 0.8, 2)
+                a, b = rng.uniform(r * 0.05, r * 0.3, 2)
+                img += rng.uniform(0.2, 1.0) * np.exp(
+                    -(((yy - cy) / a) ** 2 + ((xx - cx) / b) ** 2)
+                )
+            img = np.clip(img, 0, 1)
+            lr = simulate_low_res_np(img, 4.0)
+            return {"hr": img[..., None], "lr": lr[..., None]}
+
+    return Phantom()
+
+
+def _sr_volume(args):
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.diffusion.schedules import resdiff_schedule
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
+    from mrisr_tpu.pipelines.volume import super_resolve_volume
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+    from mrisr_tpu.utils.checkpoint import CheckpointManager
+
+    key = jax.random.PRNGKey(args.seed)
+    cnn = SimpleCNN()
+    unet = ResDiffUNet(image_size=args.resolution)
+    cnn_params = cnn.init(key, jnp.zeros((1, args.resolution, args.resolution, 1)))
+    unet_params = unet.init(
+        key, jnp.zeros((1, args.resolution, args.resolution, 2)), jnp.array([0.5])
+    )
+    if args.checkpoint:
+        state = create_train_state(unet.apply, unet_params, make_optimizer(1e-5))
+        mgr = CheckpointManager(args.checkpoint)
+        restored = mgr.restore(state)
+        unet_params = restored.ema_params or restored.params
+        mgr.close()
+    pipe = ResDiffPipeline(cnn, unet, resdiff_schedule(1000), cnn_params, unet_params)
+    out = super_resolve_volume(
+        pipe,
+        args.input,
+        args.output,
+        resolution=args.resolution,
+        batch_size=args.batch,
+        num_steps=args.ddim_steps,
+    )
+    print(f"wrote {args.output} shape={out.shape}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

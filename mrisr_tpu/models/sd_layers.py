@@ -20,6 +20,11 @@ from flax import linen as nn
 from mrisr_tpu.ops.attention import spatial_attention, dense_attention
 
 
+def gn_groups(channels: int, groups: int = 32) -> int:
+    """32 groups at real SD sizes; gcd fallback so tiny test configs work."""
+    return groups if channels % groups == 0 else math.gcd(channels, groups)
+
+
 class Timesteps(nn.Module):
     """Diffusers sinusoidal timestep projection (flip_sin_to_cos=True)."""
 
@@ -60,13 +65,13 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=gn_groups(x.shape[-1], self.groups), epsilon=self.eps, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv1")(h)
         if temb is not None and self.use_temb:
             t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=gn_groups(self.out_channels, self.groups), epsilon=self.eps, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -155,7 +160,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        y = nn.GroupNorm(num_groups=gn_groups(c), epsilon=1e-6, name="norm")(x)
         y = nn.Conv(c, (1, 1), name="proj_in")(y)
         y = y.reshape(b, h * w, c)
         for i in range(self.depth):
@@ -193,7 +198,7 @@ class VAEAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="group_norm")(x)
+        y = nn.GroupNorm(num_groups=gn_groups(c), epsilon=1e-6, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
         q = nn.Dense(c, name="to_q")(y)
         k = nn.Dense(c, name="to_k")(y)

@@ -58,9 +58,15 @@ def chunked_attention(
 
 
 def _attend(q, k, v, scale):
-    n = q.shape[1]
-    if n >= CHUNK_THRESHOLD and n % DEFAULT_CHUNK == 0:
-        return chunked_attention(q, k, v, scale)
+    n, m = q.shape[1], k.shape[1]
+    if n >= CHUNK_THRESHOLD:
+        # Pallas flash kernel on TPU; exact chunked lax fallback elsewhere.
+        from mrisr_tpu.ops.flash_attention import flash_attention_tpu, flash_available
+
+        if flash_available(n, m):
+            return flash_attention_tpu(q, k, v, scale)
+        if n % DEFAULT_CHUNK == 0:
+            return chunked_attention(q, k, v, scale)
     return dense_attention(q, k, v, scale)
 
 

@@ -1,0 +1,100 @@
+"""Full-volume batch inference: NIfTI -> slices -> SR -> restack.
+
+BASELINE.json config 5: volumes are sliced along the chosen axis, windows
+applied, slices padded to the model resolution, batched, mesh-sharded across
+the data axis (v5e-8), super-resolved by any pipeline exposing
+``super_resolve(lr, key, ...)``, then restacked and written back as NIfTI
+with the source affine.  The slice batches are the unit of data parallelism
+(SURVEY.md §5 long-context note: "sequence length" here = slices/volume).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from mrisr_tpu.data.nifti import NiftiImage, read_nifti, to_ras, write_nifti
+from mrisr_tpu.data.slices import clip_to_unit_interval, pad_or_center_crop, to_minus_one_one
+
+
+def volume_to_model_slices(
+    vol: np.ndarray,
+    axis: int = 2,
+    resolution: int = 256,
+    clip: tuple[float, float] = (0, 1000),
+) -> tuple[np.ndarray, list[tuple[int, int]]]:
+    """-> (slices [N, R, R, 1] in [-1,1], original (H, W) per slice)."""
+    slices, shapes = [], []
+    for i in range(vol.shape[axis]):
+        sl = [slice(None)] * vol.ndim
+        sl[axis] = i
+        img = vol[tuple(sl)]
+        shapes.append(img.shape)
+        img = to_minus_one_one(clip_to_unit_interval(img, clip))
+        img = pad_or_center_crop(img, (resolution, resolution), pad_value=-1.0)
+        slices.append(img[..., None])
+    return np.stack(slices).astype(np.float32), shapes
+
+
+def restack_slices(
+    sr_slices: np.ndarray, shapes: list[tuple[int, int]], axis: int = 2
+) -> np.ndarray:
+    """Undo the pad/crop per slice and stack back into a volume ([0,1])."""
+    out = []
+    r = sr_slices.shape[1]
+    for i, (h, w) in enumerate(shapes):
+        img = sr_slices[i, ..., 0]
+        # undo pad (crop center) or undo crop (pad edges back with zeros)
+        if h <= r and w <= r:
+            ph, pw = (r - h) // 2, (r - w) // 2
+            img = img[ph : ph + h, pw : pw + w]
+        else:
+            canvas = np.zeros((h, w), img.dtype)
+            ch, cw = min(h, r), min(w, r)
+            canvas[(h - ch) // 2 : (h - ch) // 2 + ch, (w - cw) // 2 : (w - cw) // 2 + cw] = img[
+                :ch, :cw
+            ]
+            img = canvas
+        out.append((img + 1.0) / 2.0)
+    return np.stack(out, axis=axis)
+
+
+def super_resolve_volume(
+    pipeline,
+    nifti_path: str | Path,
+    out_path: str | Path | None = None,
+    axis: int = 2,
+    resolution: int = 256,
+    batch_size: int = 8,
+    num_steps: int = 50,
+    clip: tuple[float, float] = (0, 1000),
+    mesh=None,
+    seed: int = 0,
+) -> NiftiImage:
+    """End-to-end driver.  ``pipeline.super_resolve`` runs per sharded batch."""
+    img = to_ras(read_nifti(nifti_path))
+    slices, shapes = volume_to_model_slices(img.data, axis, resolution, clip)
+
+    n = slices.shape[0]
+    pad_to = -(-n // batch_size) * batch_size
+    if pad_to != n:
+        slices = np.concatenate([slices, np.repeat(slices[-1:], pad_to - n, axis=0)])
+
+    key = jax.random.PRNGKey(seed)
+    outs = []
+    for s in range(0, pad_to, batch_size):
+        batch = slices[s : s + batch_size]
+        if mesh is not None:
+            from mrisr_tpu.parallel.mesh import batch_sharding
+
+            batch = jax.device_put(batch, batch_sharding(mesh, 4))
+        sr = pipeline.super_resolve(batch, jax.random.fold_in(key, s), num_steps)
+        outs.append(np.asarray(sr, np.float32))
+    sr_all = np.concatenate(outs)[:n]
+
+    vol = restack_slices(sr_all, shapes, axis)
+    result = NiftiImage(data=vol.astype(np.float32), affine=img.affine, header=img.header)
+    if out_path is not None:
+        write_nifti(out_path, result.data, result.affine)
+    return result

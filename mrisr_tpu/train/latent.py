@@ -1,0 +1,144 @@
+"""Training steps for the latent PEFT path (LoRA / ControlNet / T2I-Adapter).
+
+The reference's LoRA/ControlNet training notebook was stripped from the
+mirror (SURVEY.md top note); semantics are reconstructed from the
+hyperparameter surface (``src/adapters/utils.py:37-71`` ``log_configs``,
+config cell 11) and the Res-SRDiff math in ``src/adapters/res_srdiff.py``:
+
+* VAE-encode HR and LR slices; diffuse HR latents toward the LR anchor with
+  the shifting process; predict epsilon; MSE.
+* ControlNet mode: gradients flow to ControlNet params only (UNet frozen).
+* LoRA mode: gradients flow to LoRA (A, B) factors only; the merged UNet is
+  rebuilt functionally each step (models/lora.py).
+* Adapter mode: gradients to the T2I-Adapter only; features add into the
+  UNet down blocks.
+* CFG dropout: each sample's text embedding is replaced by the empty-prompt
+  embedding with probability ``proportion_empty_prompts`` (cell 11: 0.1).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from mrisr_tpu.diffusion import res_shift
+from mrisr_tpu.diffusion.schedules import Schedule
+from mrisr_tpu.models.lora import apply_lora_delta
+from mrisr_tpu.train.losses import l2
+from mrisr_tpu.train.state import TrainState
+
+
+def _cfg_dropout(ctx, empty_ctx, key, p):
+    if p <= 0.0 or empty_ctx is None:
+        return ctx
+    B = ctx.shape[0]
+    drop = jax.random.bernoulli(key, p, (B,))
+    return jnp.where(drop[:, None, None], empty_ctx, ctx)
+
+
+def _diffused_batch(sched: Schedule, hr_lat, lr_lat, key):
+    B = hr_lat.shape[0]
+    k_t, k_eps = jax.random.split(key)
+    t = jax.random.randint(k_t, (B,), 0, sched.num_timesteps)
+    eps = jax.random.normal(k_eps, hr_lat.shape, hr_lat.dtype)
+    x_t = res_shift.shift_forward(sched, hr_lat, lr_lat, t, eps)
+    return x_t, t, eps
+
+
+def make_controlnet_train_step(
+    unet, controlnet, vae, sched: Schedule, prompt_embeds, empty_embeds=None,
+    proportion_empty_prompts: float = 0.1,
+) -> Callable:
+    """ControlNet fine-tuning: state.params = controlnet params."""
+
+    @jax.jit
+    def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
+        k_enc1, k_enc2, k_diff, k_cfg = jax.random.split(key, 4)
+        hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
+        lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
+        scale = vae.scaling_factor
+        hr_lat = vae.apply(frozen["vae"], hr_rgb, k_enc1, method=vae.encode) * scale
+        lr_lat = vae.apply(frozen["vae"], lr_rgb, k_enc2, method=vae.encode) * scale
+
+        x_t, t, eps = _diffused_batch(sched, hr_lat, lr_lat, k_diff)
+        B = hr_lat.shape[0]
+        ctx = jnp.broadcast_to(prompt_embeds[:1], (B,) + prompt_embeds.shape[1:])
+        ctx = _cfg_dropout(ctx, empty_embeds, k_cfg, proportion_empty_prompts)
+
+        def loss_fn(cn_params):
+            down_res, mid_res = controlnet.apply(cn_params, x_t, t, ctx, lr_rgb)
+            eps_pred = unet.apply(
+                frozen["unet"], x_t, t, ctx,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res,
+            )
+            return l2(eps_pred, eps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    return step
+
+
+def make_lora_train_step(
+    unet, vae, sched: Schedule, prompt_embeds, base_unet_params,
+    lora_alpha: float = 1.0, empty_embeds=None, proportion_empty_prompts: float = 0.1,
+) -> Callable:
+    """LoRA fine-tuning: state.params = the LoRA (A, B) pytree."""
+
+    @jax.jit
+    def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
+        k_enc1, k_enc2, k_diff, k_cfg = jax.random.split(key, 4)
+        hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
+        lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
+        scale = vae.scaling_factor
+        hr_lat = vae.apply(frozen["vae"], hr_rgb, k_enc1, method=vae.encode) * scale
+        lr_lat = vae.apply(frozen["vae"], lr_rgb, k_enc2, method=vae.encode) * scale
+
+        x_t, t, eps = _diffused_batch(sched, hr_lat, lr_lat, k_diff)
+        B = hr_lat.shape[0]
+        ctx = jnp.broadcast_to(prompt_embeds[:1], (B,) + prompt_embeds.shape[1:])
+        ctx = _cfg_dropout(ctx, empty_embeds, k_cfg, proportion_empty_prompts)
+
+        def loss_fn(lora):
+            merged = apply_lora_delta(base_unet_params, lora, lora_alpha)
+            eps_pred = unet.apply(merged, x_t, t, ctx)
+            return l2(eps_pred, eps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    return step
+
+
+def make_adapter_train_step(
+    unet, adapter, vae, sched: Schedule, prompt_embeds,
+) -> Callable:
+    """T2I-Adapter fine-tuning: state.params = adapter params."""
+
+    @jax.jit
+    def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
+        k_enc1, k_enc2, k_diff = jax.random.split(key, 3)
+        hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
+        lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
+        scale = vae.scaling_factor
+        hr_lat = vae.apply(frozen["vae"], hr_rgb, k_enc1, method=vae.encode) * scale
+        lr_lat = vae.apply(frozen["vae"], lr_rgb, k_enc2, method=vae.encode) * scale
+
+        x_t, t, eps = _diffused_batch(sched, hr_lat, lr_lat, k_diff)
+        B = hr_lat.shape[0]
+        ctx = jnp.broadcast_to(prompt_embeds[:1], (B,) + prompt_embeds.shape[1:])
+
+        def loss_fn(ad_params):
+            feats = adapter.apply(ad_params, lr_rgb)
+            eps_pred = unet.apply(frozen["unet"], x_t, t, ctx, adapter_features=feats)
+            return l2(eps_pred, eps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    return step
