@@ -53,8 +53,10 @@ class T2IAdapter(nn.Module):
         for i, c in enumerate(self.channels):
             for j in range(self.num_res_blocks):
                 if i > 0 and j == 0:
+                    # downsample keeps input channel count (reference
+                    # Downsample at src/adapters/modules.py:52-76)
                     x = nn.Conv(
-                        c if False else x.shape[-1],
+                        x.shape[-1],
                         (3, 3),
                         strides=(2, 2),
                         padding=((1, 1), (1, 1)),

@@ -48,31 +48,35 @@ class FDInfoSpliter(nn.Module):
     """Frequency-domain information splitter (cell 8 semantics, NHWC).
 
     Input ``[B, H, W, 2]`` = concat(cnn_sr, x_t); emits ``[B, H, W, 5]``.
+
+    The FFT branch (``x_lf``/``x_hf``) depends only on the Stage-1 CNN
+    estimate, which is constant across all steps of a sampling chain; XLA
+    does not hoist work out of ``lax.scan`` bodies, so callers should
+    precompute it once via :meth:`static_features` and pass it through
+    ``static=`` (the sampler fast path).  Omitting ``static`` recomputes it
+    inline (the training path, where every batch is fresh).
     """
 
     emb_dim: int
     image_size: int
     reduction: int = 2
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, noise_emb: jnp.ndarray) -> jnp.ndarray:
-        cnn_x = x[..., 0:1]
-        xt = x[..., 1:2]
-        b, h, w, _ = x.shape
+    def setup(self):
+        self.noise_func = nn.Dense(self.image_size)
+        self.noise_resSE = SEBlock(self.reduction)
+        self.sigma_resSE = SEBlock(self.reduction)
+        self.HF_guided_resSE = SEBlock(self.reduction)
+        self.channel_transform = nn.Conv(1, (1, 1))
 
-        # Noise-image suppression: embed -> one row, broadcast down H.
-        row = nn.Dense(self.image_size, name="noise_func")(noise_emb)  # [B, W]
-        noise_img = jnp.broadcast_to(row[:, None, :, None], (b, h, self.image_size, 1))
-        noise_atten = SEBlock(self.reduction, name="noise_resSE")(noise_img)
-        denoise_x = xt * noise_atten
-
+    def static_features(self, cnn_x: jnp.ndarray):
+        """``cnn_x`` [B, H, W, 1] -> (x_lf, x_hf), each [B, H, W, 1]."""
         # FFT of the CNN estimate (2D over H, W; see ops/fourier.py notes).
         xf = jnp.fft.fft2(cnn_x[..., 0].astype(jnp.float32))  # [B, H, W] complex
         x_fd = jnp.stack([xf.real, xf.imag], axis=-1)  # [B, H, W, 2]
 
         # Learned sigma: |mean over channels of SE-pooled map| + size/2,
         # clamped to size-10 (cell 8 numerical stabilisation).
-        se_fd = SEBlock(self.reduction, name="sigma_resSE")(x_fd)
+        se_fd = self.sigma_resSE(x_fd)
         pooled = jnp.mean(se_fd, axis=(1, 2))  # [B, 2]
         sigma_pre = jnp.abs(jnp.mean(pooled, axis=-1)) + self.image_size / 2.0  # [B]
         sigma = jnp.minimum(sigma_pre, float(self.image_size - 10))
@@ -83,16 +87,38 @@ class FDInfoSpliter(nn.Module):
         x_fd_filtered = jnp.stack(
             [xf_filtered[:, 0].real, xf_filtered[:, 0].imag], axis=-1
         )  # [B, H, W, 2]
-        hf_guided = SEBlock(self.reduction, name="HF_guided_resSE")(x_fd_filtered)
-        atten = nn.Conv(1, (1, 1), name="channel_transform")(hf_guided)
-        x_lf = cnn_x * atten
-        x_hf = hf_abs.transpose(0, 2, 3, 1)  # [B, H, W, 1]
+        hf_guided = self.HF_guided_resSE(x_fd_filtered)
+        atten = self.channel_transform(hf_guided)
+        x_lf = (cnn_x * atten).astype(cnn_x.dtype)
+        x_hf = hf_abs.transpose(0, 2, 3, 1).astype(cnn_x.dtype)  # [B, H, W, 1]
+        return x_lf, x_hf
 
+    def __call__(
+        self, x: jnp.ndarray, noise_emb: jnp.ndarray, static=None
+    ) -> jnp.ndarray:
+        cnn_x = x[..., 0:1]
+        xt = x[..., 1:2]
+        b, h, w, _ = x.shape
+
+        # Noise-image suppression: embed -> one row, broadcast down H.
+        row = self.noise_func(noise_emb)  # [B, W]
+        noise_img = jnp.broadcast_to(row[:, None, :, None], (b, h, self.image_size, 1))
+        noise_atten = self.noise_resSE(noise_img)
+        denoise_x = xt * noise_atten
+
+        x_lf, x_hf = self.static_features(cnn_x) if static is None else static
         return jnp.concatenate([xt, cnn_x, denoise_x, x_lf, x_hf], axis=-1)
 
 
 class ResDiffUNet(nn.Module):
-    """SR3 backbone + FD splitter + DWT-guided skip cross-attention."""
+    """SR3 backbone + FD splitter + DWT-guided skip cross-attention.
+
+    Samplers should call :meth:`compute_static` once per chain (on the
+    Stage-1 CNN estimate) and pass the result as ``static=`` on every step:
+    the FFT frequency split and the Haar DWT query pyramid depend only on
+    ``cnn_sr`` and would otherwise be recomputed inside every ``lax.scan``
+    iteration (XLA does not hoist across scan bodies).
+    """
 
     image_size: int = 256
     inner_channel: int = 32
@@ -103,23 +129,45 @@ class ResDiffUNet(nn.Module):
     dropout: float = 0.2
     out_channels: int = 1
 
+    def setup(self):
+        self.fd_spliter = FDInfoSpliter(self.inner_channel, self.image_size)
+
+    def _dwt_queries(self, cnn_x: jnp.ndarray):
+        n_down = len(self.channel_mults) - 1
+        qs = haar_dwt_highpass_sum(
+            cnn_x.transpose(0, 3, 1, 2), n_down
+        )  # list of [B, 1, h, w], NCHW from the op
+        return tuple(q.transpose(0, 2, 3, 1) for q in qs)
+
+    def compute_static(self, cnn_x: jnp.ndarray):
+        """Chain-invariant features of the CNN estimate ``[B, H, W, 1]``.
+
+        Returns ``((x_lf, x_hf), dwt_queries)`` for the ``static=`` argument
+        of ``__call__``.  Use via
+        ``unet.apply(params, cnn_sr, method="compute_static")``.
+        """
+        return self.fd_spliter.static_features(cnn_x), self._dwt_queries(cnn_x)
+
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, gamma: jnp.ndarray, deterministic: bool = True
+        self,
+        x: jnp.ndarray,
+        gamma: jnp.ndarray,
+        deterministic: bool = True,
+        static=None,
     ) -> jnp.ndarray:
         """``x``: [B, H, W, 2] = concat(cnn_sr, x_t) on channels; ``gamma``: [B]."""
         n_levels = len(self.channel_mults)
-        n_down = n_levels - 1
 
         cnn_x = x[..., 0:1]
-        dwt_queries = haar_dwt_highpass_sum(
-            cnn_x.transpose(0, 3, 1, 2), n_down
-        )  # list of [B, 1, h, w], NCHW from the op
-        dwt_queries = [q.transpose(0, 2, 3, 1) for q in dwt_queries]
+        if static is None:
+            fd_static, dwt_queries = None, self._dwt_queries(cnn_x)
+        else:
+            fd_static, dwt_queries = static
 
         emb = NoiseLevelMLP(self.inner_channel)(gamma)
 
-        h = FDInfoSpliter(self.inner_channel, self.image_size)(x, emb)
+        h = self.fd_spliter(x, emb, static=fd_static)
         h = nn.Conv(self.inner_channel, (3, 3), padding="SAME", name="conv_in")(h)
 
         feats = [h]

@@ -55,9 +55,13 @@ class ResDiffPipeline:
         """LR ``[B, H, W, 1]`` -> SR ``[B, H, W, 1]``, fully fused."""
         cnn_sr = self.cnn.apply(self.cnn_params, lr)
 
+        # Chain-invariant features (FFT split + DWT pyramid of cnn_sr) are
+        # computed ONCE here, not inside the 50-step scan body.
+        static = self.unet.apply(self.unet_params, cnn_sr, method="compute_static")
+
         def eps_fn(x_t, gamma):
             inp = jnp.concatenate([cnn_sr, x_t], axis=-1)
-            return self.unet.apply(self.unet_params, inp, gamma)
+            return self.unet.apply(self.unet_params, inp, gamma, static=static)
 
         key, k0 = jax.random.split(key)
         x_T = jax.random.normal(k0, cnn_sr.shape, cnn_sr.dtype)

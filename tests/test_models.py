@@ -74,6 +74,24 @@ def test_resdiff_unet_jit_and_grad(key):
     assert total > 0
 
 
+def test_resdiff_unet_static_hoist_matches_inline(key):
+    """Precomputed chain-invariant features must reproduce the inline path.
+
+    The sampler hoists the FFT split + DWT queries out of the scan
+    (pipelines/resdiff.py); this pins numerical equivalence.
+    """
+    model = ResDiffUNet(image_size=32, inner_channel=8, norm_groups=4)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, 32, 32, 2))
+    gamma = jnp.array([0.7, 0.3])
+    params = model.init(k2, x, gamma)
+
+    y_inline = model.apply(params, x, gamma)
+    static = model.apply(params, x[..., 0:1], method="compute_static")
+    y_static = model.apply(params, x, gamma, static=static)
+    np.testing.assert_allclose(np.asarray(y_inline), np.asarray(y_static), rtol=0, atol=0)
+
+
 def test_resdiff_unet_gamma_conditioning(key):
     model = ResDiffUNet(image_size=32, inner_channel=8, norm_groups=4)
     x = jax.random.normal(key, (1, 32, 32, 2))
