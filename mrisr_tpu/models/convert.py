@@ -140,3 +140,96 @@ def convert_sd_unet(sd: Mapping) -> dict:
 
 def convert_controlnet(sd: Mapping) -> dict:
     return {"params": convert_diffusers_tree(sd)}
+
+
+# Pre-0.15 diffusers stored VAE mid-block attention as query/key/value/
+# proj_attn (sometimes as 1x1 convs); newer checkpoints use to_q/to_k/to_v/
+# to_out.0 Linears.  convert_vae accepts both.
+_VAE_ATTN_LEGACY = {"query": "to_q", "key": "to_k", "value": "to_v", "proj_attn": "to_out"}
+_VAE_ATTN_PROJ = {"to_q", "to_k", "to_v", "to_out"}
+
+
+def convert_vae(sd: Mapping) -> dict:
+    """diffusers AutoencoderKL state_dict -> models/vae.py params.
+
+    The Flax module tree mirrors the diffusers scheme 1:1 (encoder/decoder
+    down_blocks.{i}.resnets.{j}, downsamplers.0, mid_block, quant_conv, ...)
+    so the generic tree converter lands every tensor; this wrapper only
+    normalizes legacy attention key names and squeezes 1x1-conv-stored
+    attention projections to Linear orientation.
+    """
+    fixed: dict = {}
+    for key, w in sd.items():
+        parts = [_VAE_ATTN_LEGACY.get(p, p) for p in key.split(".")]
+        w = _t(w)
+        if w.ndim == 4 and any(p in _VAE_ATTN_PROJ for p in parts):
+            w = w[:, :, 0, 0]  # [out, in, 1, 1] conv-projection -> Linear
+        fixed[".".join(parts)] = w
+    return {"params": convert_diffusers_tree(fixed)}
+
+
+# ---------------------------------------------------------------------------
+# Inverse mapping: flax param path -> diffusers state_dict key
+# ---------------------------------------------------------------------------
+
+# Flax module names whose trailing _{i} suffix denotes a diffusers
+# ModuleList index (rendered ``name.{i}`` in torch state dicts).  Names like
+# ``linear_1``/``norm1``/``fc1`` keep their literal spelling in diffusers.
+_LIST_MODULES = {
+    "down_blocks",
+    "up_blocks",
+    "resnets",
+    "attentions",
+    "downsamplers",
+    "upsamplers",
+    "transformer_blocks",
+    "net",
+    "blocks",
+    "controlnet_down_blocks",
+}
+
+_LEAF_TO_TORCH = {"kernel": "weight", "scale": "weight", "embedding": "weight"}
+
+
+def flax_path_to_diffusers_key(path: tuple[str, ...]) -> str:
+    """('down_blocks_0','resnets_1','norm1','scale') -> 'down_blocks.0.resnets.1.norm1.weight'.
+
+    Exact inverse of :func:`convert_diffusers_tree`'s name mapping; used by
+    the pytree coverage tests and for exporting trained params back to the
+    diffusers key scheme.
+    """
+    *mods, leaf = path
+    out: list[str] = []
+    for m in mods:
+        stem, _, idx = m.rpartition("_")
+        if idx.isdigit() and stem in _LIST_MODULES:
+            out.extend([stem, idx])
+        else:
+            out.append(m)
+        if m == "to_out":
+            out.append("0")  # diffusers wraps the output proj in a Sequential
+    return ".".join(out + [_LEAF_TO_TORCH.get(leaf, leaf)])
+
+
+def flax_leaf_to_torch(leaf_name: str, w: np.ndarray) -> np.ndarray:
+    """Orient one flax leaf the way the torch checkpoint stores it."""
+    w = np.asarray(w)
+    if leaf_name == "kernel":
+        if w.ndim == 4:  # [kh, kw, in, out] -> [out, in, kh, kw]
+            return w.transpose(3, 2, 0, 1)
+        return w.T  # [in, out] -> [out, in]
+    return w
+
+
+def export_diffusers_tree(params: Mapping) -> dict:
+    """Flax params pytree -> flat diffusers-style state dict (numpy)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out: dict = {}
+    for path, w in flat:
+        names = tuple(getattr(p, "key", str(p)) for p in path)
+        if names and names[0] == "params":
+            names = names[1:]
+        out[flax_path_to_diffusers_key(names)] = flax_leaf_to_torch(names[-1], w)
+    return out

@@ -6,6 +6,14 @@ AutoencoderKL.  Same architecture natively: 4-stage encoder/decoder with
 (128, 256, 512, 512) channels, 2 (enc) / 3 (dec) resnets per stage,
 single-head mid attention, diagonal-Gaussian posterior, scaling factor
 0.18215.
+
+Module names follow the diffusers state-dict scheme 1:1
+(``encoder.down_blocks.{i}.resnets.{j}``, ``downsamplers.0``, ``mid_block``,
+``decoder.up_blocks.{i}.upsamplers.0`` ...) so
+``models/convert.py::convert_vae`` lands pretrained torch checkpoints onto
+this tree without any renaming; coverage is pinned by
+tests/test_convert_coverage.py.  GroupNorm eps is 1e-6 throughout (the
+diffusers VAE convention; the UNet uses 1e-5).
 """
 from __future__ import annotations
 
@@ -24,6 +32,49 @@ from mrisr_tpu.models.sd_layers import (
 )
 
 SD15_SCALING_FACTOR = 0.18215
+_VAE_EPS = 1e-6
+
+
+class DownEncoderBlock(nn.Module):
+    out_channels: int
+    num_layers: int = 2
+    add_downsample: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for j in range(self.num_layers):
+            x = ResnetBlock2D(
+                self.out_channels, eps=_VAE_EPS, use_temb=False, name=f"resnets_{j}"
+            )(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, name="downsamplers_0")(x)
+        return x
+
+
+class UpDecoderBlock(nn.Module):
+    out_channels: int
+    num_layers: int = 3
+    add_upsample: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for j in range(self.num_layers):
+            x = ResnetBlock2D(
+                self.out_channels, eps=_VAE_EPS, use_temb=False, name=f"resnets_{j}"
+            )(x)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, name="upsamplers_0")(x)
+        return x
+
+
+class VAEMidBlock(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = ResnetBlock2D(self.channels, eps=_VAE_EPS, use_temb=False, name="resnets_0")(x)
+        x = VAEAttention(name="attentions_0")(x)
+        return ResnetBlock2D(self.channels, eps=_VAE_EPS, use_temb=False, name="resnets_1")(x)
 
 
 class Encoder(nn.Module):
@@ -36,14 +87,14 @@ class Encoder(nn.Module):
         ch = self.block_out_channels
         h = nn.Conv(ch[0], (3, 3), padding="SAME", name="conv_in")(x)
         for i, c in enumerate(ch):
-            for j in range(self.layers_per_block):
-                h = ResnetBlock2D(c, use_temb=False, name=f"down_{i}_resnets_{j}")(h)
-            if i != len(ch) - 1:
-                h = Downsample2D(c, name=f"down_{i}_downsample")(h)
-        h = ResnetBlock2D(ch[-1], use_temb=False, name="mid_resnets_0")(h)
-        h = VAEAttention(name="mid_attn")(h)
-        h = ResnetBlock2D(ch[-1], use_temb=False, name="mid_resnets_1")(h)
-        h = nn.GroupNorm(num_groups=gn_groups(h.shape[-1]), epsilon=1e-6, name="conv_norm_out")(h)
+            h = DownEncoderBlock(
+                c, self.layers_per_block, add_downsample=i != len(ch) - 1,
+                name=f"down_blocks_{i}",
+            )(h)
+        h = VAEMidBlock(ch[-1], name="mid_block")(h)
+        h = nn.GroupNorm(
+            num_groups=gn_groups(h.shape[-1]), epsilon=_VAE_EPS, name="conv_norm_out"
+        )(h)
         h = nn.silu(h)
         return nn.Conv(2 * self.latent_channels, (3, 3), padding="SAME", name="conv_out")(h)
 
@@ -57,15 +108,15 @@ class Decoder(nn.Module):
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         ch = list(reversed(self.block_out_channels))  # (512, 512, 256, 128)
         h = nn.Conv(ch[0], (3, 3), padding="SAME", name="conv_in")(z)
-        h = ResnetBlock2D(ch[0], use_temb=False, name="mid_resnets_0")(h)
-        h = VAEAttention(name="mid_attn")(h)
-        h = ResnetBlock2D(ch[0], use_temb=False, name="mid_resnets_1")(h)
+        h = VAEMidBlock(ch[0], name="mid_block")(h)
         for i, c in enumerate(ch):
-            for j in range(self.layers_per_block):
-                h = ResnetBlock2D(c, use_temb=False, name=f"up_{i}_resnets_{j}")(h)
-            if i != len(ch) - 1:
-                h = Upsample2D(c, name=f"up_{i}_upsample")(h)
-        h = nn.GroupNorm(num_groups=gn_groups(h.shape[-1]), epsilon=1e-6, name="conv_norm_out")(h)
+            h = UpDecoderBlock(
+                c, self.layers_per_block, add_upsample=i != len(ch) - 1,
+                name=f"up_blocks_{i}",
+            )(h)
+        h = nn.GroupNorm(
+            num_groups=gn_groups(h.shape[-1]), epsilon=_VAE_EPS, name="conv_norm_out"
+        )(h)
         h = nn.silu(h)
         return nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv_out")(h)
 
