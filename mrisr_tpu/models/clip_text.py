@@ -146,6 +146,21 @@ class HashTokenizer:
         return {"input_ids": np.asarray(out, np.int32)}
 
 
+def default_tokenizer(vocab_dir=None):
+    """Best available tokenizer: native CLIP BPE when vocab files exist
+    (``vocab.json`` + ``merges.txt`` in ``vocab_dir``), HashTokenizer
+    otherwise (hermetic runs with random/trained-from-scratch weights)."""
+    if vocab_dir is not None:
+        from pathlib import Path
+
+        p = Path(vocab_dir)
+        if (p / "vocab.json").exists() and (p / "merges.txt").exists():
+            from mrisr_tpu.models.tokenizer import CLIPBPETokenizer
+
+            return CLIPBPETokenizer.from_pretrained(p)
+    return HashTokenizer()
+
+
 def get_fixed_prompt_embeds(
     encoder: CLIPTextEncoder,
     params,
@@ -153,7 +168,7 @@ def get_fixed_prompt_embeds(
     prompt: str = "medical mri scan, high resolution",
 ) -> jnp.ndarray:
     """Pre-compute one frozen prompt embedding (res_srdiff.py:125-130)."""
-    tokenizer = tokenizer or HashTokenizer()
+    tokenizer = tokenizer or default_tokenizer()
     ids = jnp.asarray(tokenizer(prompt)["input_ids"])
     hidden, _ = encoder.apply(params, ids)
     return hidden
