@@ -77,6 +77,20 @@ def convert_clip_text(sd: Mapping, num_layers: int = 12) -> dict:
     return {"params": params}
 
 
+def convert_clip_text_with_projection(sd: Mapping, num_layers: int = 32) -> dict:
+    """transformers CLIPTextModelWithProjection -> CLIPTextEncoderWithProjection.
+
+    (The SDXL second tower; ``src/adapters/utils.py:100`` pooled output.)
+    """
+    inner = convert_clip_text(sd, num_layers)["params"]
+    return {
+        "params": {
+            "text_model": inner,
+            "text_projection": {"kernel": _t(sd["text_projection.weight"]).T},
+        }
+    }
+
+
 # ---------------------------------------------------------------------------
 # Generic diffusers-module conversion
 # ---------------------------------------------------------------------------
