@@ -24,6 +24,18 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=42)
 
 
+def _add_train_common(p):
+    p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    p.add_argument("--val-every", type=int, default=0, help="validate every N steps (0=off)")
+    p.add_argument("--val-steps", type=int, default=20, help="sampler steps at validation")
+    p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument(
+        "--precision", default="float32", choices=["float32", "bfloat16"],
+        help="compute dtype (params stay fp32)",
+    )
+    p.add_argument("--cache", default=None, help="native slice-cache file to train from")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mrisr_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -52,6 +64,7 @@ def main(argv=None):
 
     p = sub.add_parser("train-cnn", help="Stage-1 SimpleCNN training")
     _add_common(p)
+    _add_train_common(p)
     p.add_argument("--index", required=False, help="patient index JSON")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch", type=int, default=8)
@@ -60,12 +73,23 @@ def main(argv=None):
 
     p = sub.add_parser("train-resdiff", help="Stage-2 ResDiff diffusion training")
     _add_common(p)
+    _add_train_common(p)
     p.add_argument("--index", required=False)
     p.add_argument("--cnn-checkpoint", default=None)
     p.add_argument("--steps", type=int, default=100000)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--out", default="./outputs/resdiff")
+
+    p = sub.add_parser("build-cache", help="materialise a dataset into the native slice cache")
+    _add_common(p)
+    p.add_argument("--index", required=False, help="patient index JSON (phantom fallback)")
+    p.add_argument("--out", required=True, help="cache file path")
+    p.add_argument("--resolution", type=int, default=256)
+
+    p = sub.add_parser("stats", help="BIDS dataset analytics (subject/session overlap)")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--out", default=None, help="optional JSON report path")
 
     p = sub.add_parser("sr-volume", help="NIfTI volume -> SR NIfTI volume")
     _add_common(p)
@@ -79,6 +103,10 @@ def main(argv=None):
     p = sub.add_parser("evaluate", help="folder-vs-folder MRI metrics")
     p.add_argument("--gen", required=True)
     p.add_argument("--gt", required=True)
+    p.add_argument(
+        "--state", default=None,
+        help="progress file enabling resumable evaluation (reference cells 32/50)",
+    )
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -112,10 +140,14 @@ def main(argv=None):
         return _train_resdiff(args)
     if args.cmd == "sr-volume":
         return _sr_volume(args)
+    if args.cmd == "build-cache":
+        return _build_cache(args)
+    if args.cmd == "stats":
+        return _stats(args)
     if args.cmd == "evaluate":
         from mrisr_tpu.eval.metrics import MRIEvaluator
 
-        MRIEvaluator().evaluate_folders(args.gen, args.gt)
+        MRIEvaluator().evaluate_folders(args.gen, args.gt, state_file=args.state)
         return 0
     if args.cmd == "bench":
         from bench import main as bench_main
@@ -204,6 +236,16 @@ def _train_mnist(args):
     return 0
 
 
+def _val_batch_from(ds, n=4):
+    import numpy as np
+
+    samples = [ds[i] for i in range(min(n, len(ds)))]
+    return {
+        "lr": np.stack([np.asarray(s["lr"], np.float32) for s in samples]),
+        "hr": np.stack([np.asarray(s["hr"], np.float32) for s in samples]),
+    }
+
+
 def _train_cnn(args):
     import jax
     import jax.numpy as jnp
@@ -211,21 +253,39 @@ def _train_cnn(args):
 
     from mrisr_tpu.data.loader import Loader
     from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.train.precision import get_policy
     from mrisr_tpu.train.state import create_train_state, make_optimizer
     from mrisr_tpu.train.steps import make_cnn_train_step
+    from mrisr_tpu.train.validation import ValidationHook
     from mrisr_tpu.utils.checkpoint import CheckpointManager
     from mrisr_tpu.utils.logging import MetricLogger
 
     ds = _resolve_dataset(args)
     loader = Loader(ds, batch_size=args.batch, shuffle=True, seed=args.seed)
     key = jax.random.PRNGKey(args.seed)
+    val_key = jax.random.PRNGKey(args.seed + 777)
     cnn = SimpleCNN()
     params = cnn.init(key, jnp.zeros((1, args.resolution, args.resolution, 1)))
-    state = create_train_state(cnn.apply, params, make_optimizer(1e-4))
-    step = make_cnn_train_step(cnn)
-    logger = MetricLogger(args.out)
+    state = create_train_state(
+        cnn.apply, params, make_optimizer(1e-4, grad_accum=args.grad_accum)
+    )
     mgr = CheckpointManager(f"{args.out}/ckpt")
-    i = 0
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
+    step = make_cnn_train_step(cnn, get_policy(args.precision))
+    logger = MetricLogger(args.out)
+    hook = None
+    if args.val_every > 0:
+        sample_fn = jax.jit(cnn.apply)
+        hook = ValidationHook(
+            lambda p, lr, k: sample_fn(p, jnp.asarray(lr)),
+            _val_batch_from(ds),
+            f"{args.out}/val",
+            every=args.val_every,
+            data_in_unit_range=True,
+        )
+    i = int(state.step)
     while i < args.steps:
         for batch in loader:
             if i >= args.steps:
@@ -238,6 +298,11 @@ def _train_cnn(args):
             if i % 20 == 0:
                 logger.log(i, m)
             i += 1
+            if hook is not None:
+                vm = hook.maybe_run(i, state.params, jax.random.fold_in(val_key, i))
+                if vm:
+                    logger.log(i, vm)
+                    mgr.save(i, state)
     mgr.save(i, state, force=True)
     mgr.close()
     return 0
@@ -260,6 +325,7 @@ def _train_resdiff(args):
     ds = _resolve_dataset(args)
     loader = Loader(ds, batch_size=args.batch, shuffle=True, seed=args.seed)
     key = jax.random.PRNGKey(args.seed)
+    val_key = jax.random.PRNGKey(args.seed + 777)
     cnn = SimpleCNN()
     cnn_params = cnn.init(key, jnp.zeros((1, args.resolution, args.resolution, 1)))
     if args.cnn_checkpoint:
@@ -274,13 +340,45 @@ def _train_resdiff(args):
     params = unet.init(
         key, jnp.zeros((1, args.resolution, args.resolution, 2)), jnp.array([0.5])
     )
-    state = create_train_state(unet.apply, params, make_optimizer(1e-5), ema_decay=0.999)
-    step = make_resdiff_train_step(unet, resdiff_schedule(1000))
-    logger = MetricLogger(args.out)
+    sched = resdiff_schedule(1000)
+    state = create_train_state(
+        unet.apply,
+        params,
+        make_optimizer(1e-5, grad_accum=args.grad_accum),
+        ema_decay=0.999,
+    )
     mgr = CheckpointManager(f"{args.out}/ckpt")
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
+    from mrisr_tpu.train.precision import get_policy
+
+    step = make_resdiff_train_step(unet, sched, get_policy(args.precision))
+    logger = MetricLogger(args.out)
 
     cnn_apply = jax.jit(cnn.apply)
-    i = 0
+    hook = None
+    if args.val_every > 0:
+        from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
+        from mrisr_tpu.train.validation import ValidationHook
+
+        n_steps = args.val_steps
+        pipe = ResDiffPipeline(cnn, unet, sched, cnn_params, params)
+
+        def sample_fn(params, lr, k):
+            return pipe.super_resolve_with(
+                cnn_params, params, jnp.asarray(lr), k, num_steps=n_steps
+            )
+
+        hook = ValidationHook(
+            sample_fn,
+            _val_batch_from(ds),
+            f"{args.out}/val",
+            every=args.val_every,
+            data_in_unit_range=True,
+        )
+
+    i = int(state.step)
     while i < args.steps:
         for batch in loader:
             if i >= args.steps:
@@ -294,14 +392,50 @@ def _train_resdiff(args):
             if i > 0 and i % 2000 == 0:
                 mgr.save(i, state)
             i += 1
+            if hook is not None:
+                val_params = (
+                    state.ema_params if state.ema_params is not None else state.params
+                )
+                vm = hook.maybe_run(i, val_params, jax.random.fold_in(val_key, i))
+                if vm:
+                    logger.log(i, vm)
     mgr.save(i, state, force=True)
     mgr.close()
+    return 0
+
+
+def _build_cache(args):
+    from mrisr_tpu.data.slicecache import build_cache_from_dataset
+
+    ds = _resolve_dataset(args)
+    cache = build_cache_from_dataset(ds, args.out)
+    print(f"cached {cache.n} slices ({cache.height}x{cache.width}) -> {args.out}")
+    cache.close()
+    return 0
+
+
+def _stats(args):
+    import json
+
+    from mrisr_tpu.data.bids import dataset_stats
+
+    report = dataset_stats(args.data_dir)
+    text = json.dumps(report, indent=2, sort_keys=True)
+    print(text)
+    if args.out:
+        from pathlib import Path
+
+        Path(args.out).write_text(text)
     return 0
 
 
 def _resolve_dataset(args):
     from mrisr_tpu.data.datasets import FastMRISliceDataset
 
+    if getattr(args, "cache", None):
+        from mrisr_tpu.data.slicecache import SliceCacheDataset
+
+        return SliceCacheDataset(args.cache)
     if getattr(args, "index", None):
         return FastMRISliceDataset(
             json_path=args.index, target_size=(args.resolution, args.resolution)

@@ -32,6 +32,64 @@ def get_data_dicts(data_dir: str | Path) -> list[dict]:
     return pairs
 
 
+def dataset_stats(data_dir: str | Path) -> dict:
+    """Subject/session/run analytics over the paired BIDS trees.
+
+    Native equivalent of the exploration notebook's dataset report
+    (``notebooks/dataset.ipynb`` cell 10): subject counts per field
+    strength, subject overlap, session/run/acquisition distributions, and
+    paired-scan availability.
+    """
+    data_dir = Path(data_dir)
+
+    def scan(root: Path) -> dict:
+        subjects: dict[str, dict] = {}
+        for sub in sorted(root.glob("sub-*")):
+            sessions = sorted(d.name for d in sub.glob("ses-*"))
+            scans = sorted(
+                str(f.relative_to(sub)) for f in sub.rglob("*.nii*")
+            )
+            acqs = sorted(
+                {
+                    part.split("-", 1)[1]
+                    for f in scans
+                    for part in Path(f).name.split("_")
+                    if part.startswith("acq-")
+                }
+            )
+            runs = sorted(
+                {
+                    part.split("-", 1)[1]
+                    for f in scans
+                    for part in Path(f).name.split("_")
+                    if part.startswith("run-")
+                }
+            )
+            subjects[sub.name] = {
+                "n_sessions": len(sessions),
+                "n_scans": len(scans),
+                "acquisitions": acqs,
+                "runs": runs,
+            }
+        return subjects
+
+    lf = scan(data_dir / "64mT data")
+    hf = scan(data_dir / "3T data")
+    both = sorted(set(lf) & set(hf))
+    pairs = get_data_dicts(data_dir)
+    return {
+        "low_field": {"n_subjects": len(lf), "subjects": lf},
+        "high_field": {"n_subjects": len(hf), "subjects": hf},
+        "overlap": {
+            "n_subjects_in_both": len(both),
+            "subjects": both,
+            "only_low_field": sorted(set(lf) - set(hf)),
+            "only_high_field": sorted(set(hf) - set(lf)),
+        },
+        "paired_scans": len(pairs),
+    }
+
+
 def get_data_dicts_artificial(data_dir: str | Path, modality: str = "T2w") -> list[dict]:
     data_dir = Path(data_dir)
     base = data_dir / "rawdata_BIDS_3T"

@@ -64,11 +64,19 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        # Datasets exposing a vectorised get_batch (e.g. the native C++
+        # SliceCacheDataset's multithreaded mmap gather) skip the per-item
+        # Python loop + stack entirely.
+        fast = getattr(self.dataset, "get_batch", None)
+
         def worker():
             try:
                 for batch_idx in self._index_batches():
-                    samples = [self.dataset[int(i)] for i in batch_idx]
-                    q.put(_stack(samples))
+                    if fast is not None:
+                        q.put(fast(batch_idx))
+                    else:
+                        samples = [self.dataset[int(i)] for i in batch_idx]
+                        q.put(_stack(samples))
             finally:
                 q.put(sentinel)
 

@@ -181,7 +181,16 @@ class MRIEvaluator:
         except Exception:
             return None
 
-    def evaluate_folders(self, generated_dir: str, ground_truth_dir: str):
+    def evaluate_folders(
+        self, generated_dir: str, ground_truth_dir: str, state_file: str | None = None
+    ):
+        """Folder metrics, optionally resumable.
+
+        ``state_file``: JSON progress file holding processed file names and
+        running sums — interrupt-safe long sweeps, the native equivalent of
+        the reference's ``processed_indices`` loops
+        (``ResDif_execution.ipynb`` cells 32/50).
+        """
         gen_files = sorted(
             f for ext in self.EXTS for f in glob.glob(os.path.join(generated_dir, ext))
         )
@@ -193,7 +202,19 @@ class MRIEvaluator:
 
         sums = {"PSNR": 0.0, "SSIM": 0.0, "HFEN": 0.0, "NMSE": 0.0}
         count = 0
+        processed: set[str] = set()
+        if state_file and os.path.exists(state_file):
+            import json
+
+            st = json.loads(open(state_file).read())
+            sums, count = st["sums"], st["count"]
+            processed = set(st["processed"])
+            if self.verbose:
+                print(f"resuming: {count} pairs already evaluated")
         for gen_path, gt_path in zip(gen_files, gt_files):
+            name = os.path.basename(gen_path)
+            if name in processed:
+                continue
             img_gen = self._load_gray(gen_path)
             img_gt = self._load_gray(gt_path)
             if img_gen is None or img_gt is None:
@@ -207,6 +228,16 @@ class MRIEvaluator:
             sums["HFEN"] += hfen_log(img_gen, img_gt)
             sums["NMSE"] += float(nmse(tg, tt, squared=True))
             count += 1
+            processed.add(name)
+            if state_file:
+                import json
+
+                tmp = state_file + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {"sums": sums, "count": count, "processed": sorted(processed)}, f
+                    )
+                os.replace(tmp, state_file)
 
         if count == 0:
             if self.verbose:

@@ -65,7 +65,8 @@ class ControlNet(nn.Module):
     ):
         ch = self.block_out_channels
         temb = Timesteps(ch[0], name="time_proj")(t)
-        temb = TimestepEmbedding(ch[0] * 4, name="time_embedding")(temb)
+        # cast so a bf16 forward is not promoted to fp32 by the fp32 encoding
+        temb = TimestepEmbedding(ch[0] * 4, name="time_embedding")(temb).astype(x.dtype)
 
         h = nn.Conv(ch[0], (3, 3), padding="SAME", name="conv_in")(x)
         h = h + ControlNetConditioningEmbedding(ch[0], name="controlnet_cond_embedding")(cond_image)

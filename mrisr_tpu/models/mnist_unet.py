@@ -47,6 +47,9 @@ class MNISTUNet(nn.Module):
         if y is not None and self.num_classes > 0:
             cls = nn.Embed(self.num_classes, self.time_dim)(y)
             emb = cls if emb is None else emb + cls
+        if emb is not None:
+            # keep a bf16 forward bf16 (fp32 sin/cos encoding would promote)
+            emb = emb.astype(x.dtype)
 
         h = nn.Conv(self.channels[0], (3, 3), padding="SAME")(x)
         skips = []

@@ -165,7 +165,10 @@ class ResDiffUNet(nn.Module):
         else:
             fd_static, dwt_queries = static
 
-        emb = NoiseLevelMLP(self.inner_channel)(gamma)
+        # The noise-level encoding computes in fp32 (sin/cos precision);
+        # cast to the activation dtype so a bf16 forward stays bf16 —
+        # otherwise the fp32 emb promotes every downstream op to fp32.
+        emb = NoiseLevelMLP(self.inner_channel)(gamma).astype(x.dtype)
 
         h = self.fd_spliter(x, emb, static=fd_static)
         h = nn.Conv(self.inner_channel, (3, 3), padding="SAME", name="conv_in")(h)

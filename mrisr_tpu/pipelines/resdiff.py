@@ -45,23 +45,29 @@ class ResDiffPipeline:
         return self.cnn.apply(self.cnn_params, lr)
 
     @functools.partial(jax.jit, static_argnames=("self", "num_steps", "spacing"))
-    def super_resolve(
+    def super_resolve_with(
         self,
+        cnn_params: Any,
+        unet_params: Any,
         lr: jnp.ndarray,
         key: jax.Array,
         num_steps: int | None = 50,
         spacing: str = "trailing",
     ) -> jnp.ndarray:
-        """LR ``[B, H, W, 1]`` -> SR ``[B, H, W, 1]``, fully fused."""
-        cnn_sr = self.cnn.apply(self.cnn_params, lr)
+        """LR ``[B, H, W, 1]`` -> SR ``[B, H, W, 1]``, fully fused.
+
+        Params are traced arguments, so swapping weights (EMA validation
+        snapshots, restored checkpoints) reuses the compiled program.
+        """
+        cnn_sr = self.cnn.apply(cnn_params, lr)
 
         # Chain-invariant features (FFT split + DWT pyramid of cnn_sr) are
         # computed ONCE here, not inside the 50-step scan body.
-        static = self.unet.apply(self.unet_params, cnn_sr, method="compute_static")
+        static = self.unet.apply(unet_params, cnn_sr, method="compute_static")
 
         def eps_fn(x_t, gamma):
             inp = jnp.concatenate([cnn_sr, x_t], axis=-1)
-            return self.unet.apply(self.unet_params, inp, gamma, static=static)
+            return self.unet.apply(unet_params, inp, gamma, static=static)
 
         key, k0 = jax.random.split(key)
         x_T = jax.random.normal(k0, cnn_sr.shape, cnn_sr.dtype)
@@ -69,6 +75,17 @@ class ResDiffPipeline:
             self.sched, eps_fn, x_T, key, num_steps=num_steps, spacing=spacing
         )
         return cnn_sr + residual
+
+    def super_resolve(
+        self,
+        lr: jnp.ndarray,
+        key: jax.Array,
+        num_steps: int | None = 50,
+        spacing: str = "trailing",
+    ) -> jnp.ndarray:
+        return self.super_resolve_with(
+            self.cnn_params, self.unet_params, lr, key, num_steps, spacing
+        )
 
     def __hash__(self):  # allow use as a static jit arg
         return id(self)

@@ -74,6 +74,7 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     max_grad_norm: float | None = None,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     if kind == "adam":
         tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
@@ -86,6 +87,9 @@ def make_optimizer(
         raise ValueError(f"unknown optimizer {kind!r}")
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if grad_accum > 1:
+        # Reference parity: gradient_accumulation_steps (config cell 11).
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
 
 

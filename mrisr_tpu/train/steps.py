@@ -24,15 +24,22 @@ import jax.numpy as jnp
 from mrisr_tpu.diffusion import ddpm, sr3
 from mrisr_tpu.diffusion.schedules import Schedule
 from mrisr_tpu.train.losses import image_compare_loss, l2
+from mrisr_tpu.train.precision import Policy
 from mrisr_tpu.train.state import TrainState
 
 
-def make_cnn_train_step(model) -> Callable:
+def make_cnn_train_step(model, policy: Policy | None = None) -> Callable:
+    policy = policy or Policy()
+
     @jax.jit
     def step(state: TrainState, batch: dict, key: jax.Array):
         def loss_fn(params):
-            pred = model.apply(params, batch["lr"])
-            return image_compare_loss(pred, batch["hr"])
+            p = policy.cast_to_compute(params)
+            b = policy.cast_to_compute(batch)
+            pred = model.apply(p, b["lr"])
+            return image_compare_loss(
+                pred.astype(jnp.float32), batch["hr"].astype(jnp.float32)
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)
@@ -41,8 +48,14 @@ def make_cnn_train_step(model) -> Callable:
     return step
 
 
-def make_resdiff_train_step(unet, sched: Schedule) -> Callable:
-    """Stage-2: diffuse the residual (HR - cnn_sr), predict eps, MSE."""
+def make_resdiff_train_step(unet, sched: Schedule, policy: Policy | None = None) -> Callable:
+    """Stage-2: diffuse the residual (HR - cnn_sr), predict eps, MSE.
+
+    With a bf16 ``policy`` the UNet forward/backward runs in bfloat16
+    against fp32 master params (train/precision.py); the q-sample and the
+    loss stay fp32.
+    """
+    policy = policy or Policy()
 
     @jax.jit
     def step(state: TrainState, batch: dict, key: jax.Array):
@@ -56,11 +69,12 @@ def make_resdiff_train_step(unet, sched: Schedule) -> Callable:
         x_t = sr3.q_sample_gamma(x0, gamma, eps)
 
         def loss_fn(params):
-            inp = jnp.concatenate([sr, x_t], axis=-1)
+            p = policy.cast_to_compute(params)
+            inp = policy.cast_to_compute(jnp.concatenate([sr, x_t], axis=-1))
             eps_pred = unet.apply(
-                params, inp, gamma, deterministic=False, rngs={"dropout": k_drop}
+                p, inp, gamma, deterministic=False, rngs={"dropout": k_drop}
             )
-            return l2(eps_pred, eps)
+            return l2(eps_pred.astype(jnp.float32), eps.astype(jnp.float32))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)

@@ -92,6 +92,19 @@ def test_resdiff_unet_static_hoist_matches_inline(key):
     np.testing.assert_allclose(np.asarray(y_inline), np.asarray(y_static), rtol=0, atol=0)
 
 
+def test_resdiff_unet_preserves_bfloat16(key):
+    """A bf16 forward must stay bf16 end-to-end: the fp32 noise-level
+    encoding used to promote every downstream op to fp32 (2x MXU cost)."""
+    model = ResDiffUNet(image_size=32, inner_channel=8, norm_groups=4)
+    x32 = jax.random.normal(key, (1, 32, 32, 2))
+    gamma = jnp.array([0.5])
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), model.init(key, x32, gamma)
+    )
+    out = model.apply(params, x32.astype(jnp.bfloat16), gamma)
+    assert out.dtype == jnp.bfloat16
+
+
 def test_resdiff_unet_gamma_conditioning(key):
     model = ResDiffUNet(image_size=32, inner_channel=8, norm_groups=4)
     x = jax.random.normal(key, (1, 32, 32, 2))
