@@ -15,6 +15,7 @@ row); this provides the missing operational surface:
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -108,6 +109,15 @@ def main(argv=None):
         help="progress file enabling resumable evaluation (reference cells 32/50)",
     )
 
+    p = sub.add_parser("parity", help="fidelity-parity harness (hermetic configs)")
+    _add_common(p)
+    p.add_argument("--out", default="PARITY_RUN.json")
+    p.add_argument("--mnist-steps", type=int, default=300)
+    p.add_argument("--phantom-steps", type=int, default=400)
+    p.add_argument("--resdiff-steps", type=int, default=300)
+    p.add_argument("--resolution", type=int, default=64)
+    p.add_argument("--index", default=None, help="FastMRI index for the real-data anchor")
+
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
 
@@ -148,6 +158,21 @@ def main(argv=None):
         from mrisr_tpu.eval.metrics import MRIEvaluator
 
         MRIEvaluator().evaluate_folders(args.gen, args.gt, state_file=args.state)
+        return 0
+    if args.cmd == "parity":
+        from mrisr_tpu.eval.parity import run_parity
+
+        report = run_parity(
+            args.out,
+            mnist_steps=args.mnist_steps,
+            phantom_steps=args.phantom_steps,
+            resdiff_steps=args.resdiff_steps,
+            res=args.resolution,
+            index_json=args.index,
+        )
+        for k in ("mnist_regression", "phantom_cnn", "phantom_resdiff", "fastmri_cnn"):
+            if k in report:
+                print(k, json.dumps(report[k]["model"]))
         return 0
     if args.cmd == "bench":
         from bench import main as bench_main

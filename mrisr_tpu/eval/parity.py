@@ -1,0 +1,254 @@
+"""Fidelity-parity harness: train the hermetic configs, record metrics.
+
+BASELINE.md demands PSNR parity with the reference pipeline; the only
+reproducible fidelity anchor the reference publishes is the Stage-1 CNN on
+FastMRI (PSNR 27.92 +/- 3.39 dB, SSIM 0.859, NMSE 0.180, HFEN 1.052 —
+``ResDif_execution.ipynb`` cell 32 saved output; SURVEY.md §6).
+
+This harness produces evidence, not claims:
+
+* ``mnist`` — the reference's shipped MNIST regression (cell 9) trained to
+  convergence, PSNR vs the bicubic baseline it must beat.
+* ``phantom_cnn`` — Stage-1 SimpleCNN on synthetic phantoms with the same
+  x4 degradation model as the FastMRI path (``_simulate_low_res``), all
+  four metrics plus the bicubic baseline.
+* ``phantom_resdiff`` — short Stage-2 diffusion run + K-step sample; checks
+  the sampler improves on (or at least tracks) the Stage-1 output.
+* ``fastmri_cnn`` — when a real patient index is supplied, reproduces the
+  cell-32 evaluation against the published anchor.
+
+Run: ``python -m mrisr_tpu.cli parity --out PARITY.json`` (CPU-safe).
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+REFERENCE_ANCHORS = {
+    "fastmri_cnn": {"psnr": 27.9176, "ssim": 0.8590, "nmse": 0.1796, "hfen": 1.0523},
+    "source": "ResDif_execution.ipynb cell 32 saved output (SURVEY.md §6)",
+}
+
+
+def _metrics(sr: np.ndarray, hr: np.ndarray) -> dict:
+    from mrisr_tpu.eval.metrics import compute_mri_metrics
+
+    p, s, n, h = compute_mri_metrics(
+        np.clip(sr, 0, 1).transpose(0, 3, 1, 2), np.clip(hr, 0, 1).transpose(0, 3, 1, 2)
+    )
+    return {
+        "psnr": float(p),
+        "ssim": float(s),
+        "nmse": float(n),
+        "hfen": float(h),
+    }
+
+
+def _phantom_batches(n: int, res: int, seed0: int = 0):
+    from mrisr_tpu.data.degrade import simulate_low_res_np
+
+    hrs, lrs = [], []
+    for i in range(n):
+        rng = np.random.default_rng(seed0 + i)
+        yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
+        img = np.zeros((res, res), np.float32)
+        for _ in range(6):
+            cy, cx = rng.uniform(res * 0.2, res * 0.8, 2)
+            a, b = rng.uniform(res * 0.05, res * 0.3, 2)
+            img += rng.uniform(0.2, 1.0) * np.exp(
+                -(((yy - cy) / a) ** 2 + ((xx - cx) / b) ** 2)
+            )
+        img = np.clip(img, 0, 1)
+        hrs.append(img[..., None])
+        lrs.append(simulate_low_res_np(img, 4.0)[..., None])
+    return np.stack(lrs), np.stack(hrs)
+
+
+def run_mnist(steps: int = 300, batch: int = 64) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.data.datasets import MNISTSRDataset
+    from mrisr_tpu.data.loader import Loader
+    from mrisr_tpu.models.mnist_unet import MNISTUNet
+    from mrisr_tpu.ops.resize import interpolate_like_torch
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+    from mrisr_tpu.train.steps import make_mnist_regression_step
+
+    key = jax.random.PRNGKey(0)
+    ds = MNISTSRDataset(None)
+    loader = Loader(ds, batch_size=batch, shuffle=True, seed=0)
+    model = MNISTUNet(num_classes=10)
+    params = model.init(
+        key, jnp.zeros((1, 28, 28, 1)), jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)
+    )
+    state = create_train_state(model.apply, params, make_optimizer(1e-3))
+    step = make_mnist_regression_step(model)
+
+    def upsample(lr):
+        return np.asarray(
+            interpolate_like_torch(jnp.asarray(lr).transpose(0, 3, 1, 2), (28, 28))
+        ).transpose(0, 2, 3, 1)
+
+    i = 0
+    while i < steps:
+        for b in loader:
+            if i >= steps:
+                break
+            bb = {
+                "hr": jnp.asarray(b["hr"]),
+                "lr_up": jnp.asarray(upsample(b["lr"])),
+                "label": jnp.asarray(b["label"]),
+            }
+            state, m = step(state, bb, jax.random.fold_in(key, i))
+            i += 1
+
+    val = [ds[j] for j in range(64)]
+    hr = np.stack([v["hr"] for v in val])
+    lr_up = upsample(np.stack([v["lr"] for v in val]))
+    pred = np.asarray(model.apply(state.params, jnp.asarray(lr_up), None, None))
+    return {
+        "steps": steps,
+        "model": _metrics(pred, hr),
+        "bicubic_baseline": _metrics(lr_up, hr),
+    }
+
+
+def run_phantom_cnn(steps: int = 400, res: int = 64, batch: int = 8) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+    from mrisr_tpu.train.steps import make_cnn_train_step
+
+    key = jax.random.PRNGKey(0)
+    cnn = SimpleCNN()
+    params = cnn.init(key, jnp.zeros((1, res, res, 1)))
+    state = create_train_state(cnn.apply, params, make_optimizer(1e-4))
+    step = make_cnn_train_step(cnn)
+    lr_all, hr_all = _phantom_batches(64, res)
+    for i in range(steps):
+        idx = np.random.default_rng(i).integers(0, len(lr_all), batch)
+        b = {"lr": jnp.asarray(lr_all[idx]), "hr": jnp.asarray(hr_all[idx])}
+        state, m = step(state, b, jax.random.fold_in(key, i))
+
+    lr_te, hr_te = _phantom_batches(32, res, seed0=1000)
+    pred = np.asarray(cnn.apply(state.params, jnp.asarray(lr_te)))
+    return {
+        "steps": steps,
+        "model": _metrics(pred, hr_te),
+        "bicubic_baseline": _metrics(lr_te, hr_te),
+        "cnn_params": state.params,  # handed to run_phantom_resdiff; stripped from JSON
+    }
+
+
+def run_phantom_resdiff(
+    cnn_result: dict, steps: int = 300, res: int = 64, batch: int = 8, sample_steps: int = 10
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.diffusion.schedules import resdiff_schedule
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+    from mrisr_tpu.train.steps import make_resdiff_train_step
+
+    key = jax.random.PRNGKey(1)
+    cnn = SimpleCNN()
+    cnn_params = cnn_result["cnn_params"]
+    unet = ResDiffUNet(image_size=res, inner_channel=16, norm_groups=8)
+    params = unet.init(key, jnp.zeros((1, res, res, 2)), jnp.array([0.5]))
+    sched = resdiff_schedule(1000)
+    state = create_train_state(
+        unet.apply, params, make_optimizer(2e-4), ema_decay=0.99
+    )
+    step = make_resdiff_train_step(unet, sched)
+
+    lr_all, hr_all = _phantom_batches(64, res)
+    cnn_apply = jax.jit(cnn.apply)
+    for i in range(steps):
+        idx = np.random.default_rng(10_000 + i).integers(0, len(lr_all), batch)
+        lr = jnp.asarray(lr_all[idx])
+        sr = cnn_apply(cnn_params, lr)
+        state, m = step(state, {"sr": sr, "hr": jnp.asarray(hr_all[idx])}, jax.random.fold_in(key, i))
+
+    lr_te, hr_te = _phantom_batches(16, res, seed0=1000)
+    pipe = ResDiffPipeline(cnn, unet, sched, cnn_params, state.ema_params)
+    out = np.asarray(
+        pipe.super_resolve(jnp.asarray(lr_te), jax.random.PRNGKey(2), num_steps=sample_steps)
+    )
+    stage1 = np.asarray(cnn_apply(cnn_params, jnp.asarray(lr_te)))
+    return {
+        "steps": steps,
+        "sample_steps": sample_steps,
+        "model": _metrics(out, hr_te),
+        "stage1_cnn": _metrics(stage1, hr_te),
+        "bicubic_baseline": _metrics(lr_te, hr_te),
+    }
+
+
+def run_fastmri_cnn(index_json: str, steps: int = 2000, res: int = 256, batch: int = 8) -> dict:
+    """Reproduce the reference's CNN-stage evaluation on real FastMRI data
+    (cell 29 training + cell 32 eval; anchor in REFERENCE_ANCHORS)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.data.datasets import FastMRISliceDataset
+    from mrisr_tpu.data.loader import Loader
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+    from mrisr_tpu.train.steps import make_cnn_train_step
+
+    key = jax.random.PRNGKey(0)
+    train = FastMRISliceDataset(json_path=index_json, mode="train", target_size=(res, res))
+    test = FastMRISliceDataset(json_path=index_json, mode="test", target_size=(res, res))
+    loader = Loader(train, batch_size=batch, shuffle=True, seed=42)
+    cnn = SimpleCNN()
+    params = cnn.init(key, jnp.zeros((1, res, res, 1)))
+    state = create_train_state(cnn.apply, params, make_optimizer(1e-4))
+    step = make_cnn_train_step(cnn)
+    i = 0
+    while i < steps:
+        for b in loader:
+            if i >= steps:
+                break
+            bb = {"lr": jnp.asarray(b["lr"]), "hr": jnp.asarray(b["hr"])}
+            state, _ = step(state, bb, jax.random.fold_in(key, i))
+            i += 1
+    sums, n = None, 0
+    apply = jax.jit(cnn.apply)
+    for j in range(len(test)):
+        s = test[j]
+        pred = np.asarray(apply(state.params, jnp.asarray(s["lr"])[None]))
+        m = _metrics(pred, np.asarray(s["hr"])[None])
+        sums = m if sums is None else {k: sums[k] + m[k] for k in m}
+        n += 1
+    result = {k: v / n for k, v in sums.items()}
+    return {"steps": steps, "n_test": n, "model": result, "anchor": REFERENCE_ANCHORS["fastmri_cnn"]}
+
+
+def run_parity(
+    out_path: str | Path,
+    mnist_steps: int = 300,
+    phantom_steps: int = 400,
+    resdiff_steps: int = 300,
+    res: int = 64,
+    index_json: str | None = None,
+) -> dict:
+    t0 = time.time()
+    report: dict = {"anchors": REFERENCE_ANCHORS}
+    report["mnist_regression"] = run_mnist(mnist_steps)
+    cnn_res = run_phantom_cnn(phantom_steps, res)
+    report["phantom_cnn"] = {k: v for k, v in cnn_res.items() if k != "cnn_params"}
+    report["phantom_resdiff"] = run_phantom_resdiff(cnn_res, resdiff_steps, res)
+    if index_json:
+        report["fastmri_cnn"] = run_fastmri_cnn(index_json)
+    report["elapsed_sec"] = round(time.time() - t0, 1)
+    Path(out_path).write_text(json.dumps(report, indent=2))
+    return report
