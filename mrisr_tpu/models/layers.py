@@ -165,6 +165,18 @@ class Downsample(nn.Module):
         return nn.Conv(self.features, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
 
 
+def nearest_up2(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour x2 upsample via broadcast/reshape.
+
+    Bit-identical to ``jax.image.resize(method="nearest")`` at exact 2x
+    (tested), but lowers to a reshape/broadcast instead of a gather —
+    measurably cheaper inside the sampler scan on TPU.
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
 class Upsample(nn.Module):
     """Nearest x2 then 3x3 conv (SR3 convention)."""
 
@@ -172,9 +184,7 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        return nn.Conv(self.features, (3, 3), padding="SAME")(nearest_up2(x))
 
 
 class HFGuidedCrossAttention(nn.Module):

@@ -187,9 +187,9 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding="SAME", name="conv")(x)
+        from mrisr_tpu.models.layers import nearest_up2
+
+        return nn.Conv(self.channels, (3, 3), padding="SAME", name="conv")(nearest_up2(x))
 
 
 class VAEAttention(nn.Module):

@@ -92,6 +92,14 @@ def test_resdiff_unet_static_hoist_matches_inline(key):
     np.testing.assert_allclose(np.asarray(y_inline), np.asarray(y_static), rtol=0, atol=0)
 
 
+def test_nearest_up2_matches_jax_image_resize(key):
+    from mrisr_tpu.models.layers import nearest_up2
+
+    x = jax.random.normal(key, (2, 7, 5, 3))
+    want = jax.image.resize(x, (2, 14, 10, 3), method="nearest")
+    np.testing.assert_array_equal(np.asarray(nearest_up2(x)), np.asarray(want))
+
+
 def test_resdiff_unet_preserves_bfloat16(key):
     """A bf16 forward must stay bf16 end-to-end: the fp32 noise-level
     encoding used to promote every downstream op to fp32 (2x MXU cost)."""
