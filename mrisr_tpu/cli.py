@@ -109,6 +109,16 @@ def main(argv=None):
         help="progress file enabling resumable evaluation (reference cells 32/50)",
     )
 
+    p = sub.add_parser(
+        "convert-weights",
+        help="torch/diffusers checkpoint (.safetensors/.bin) -> flax params .npz",
+    )
+    p.add_argument("--model", required=True,
+                   choices=["vae", "unet", "controlnet", "clip", "clip-proj"])
+    p.add_argument("--input", required=True, help=".safetensors or torch .bin/.pt")
+    p.add_argument("--output", required=True, help="output .npz params file")
+    p.add_argument("--num-layers", type=int, default=None, help="CLIP tower depth")
+
     p = sub.add_parser("parity", help="fidelity-parity harness (hermetic configs)")
     _add_common(p)
     p.add_argument("--out", default="PARITY_RUN.json")
@@ -158,6 +168,19 @@ def main(argv=None):
         from mrisr_tpu.eval.metrics import MRIEvaluator
 
         MRIEvaluator().evaluate_folders(args.gen, args.gt, state_file=args.state)
+        return 0
+    if args.cmd == "convert-weights":
+        from mrisr_tpu.data.safetensors_io import load_state_dict_any
+        from mrisr_tpu.models.convert import CONVERTERS, save_params_npz
+
+        sd = load_state_dict_any(args.input)
+        conv = CONVERTERS[args.model]
+        if args.model in ("clip", "clip-proj") and args.num_layers:
+            params = conv(sd, num_layers=args.num_layers)
+        else:
+            params = conv(sd)
+        save_params_npz(args.output, params)
+        print(f"converted {len(sd)} tensors -> {args.output}")
         return 0
     if args.cmd == "parity":
         from mrisr_tpu.eval.parity import run_parity

@@ -235,6 +235,53 @@ def flax_leaf_to_torch(leaf_name: str, w: np.ndarray) -> np.ndarray:
     return w
 
 
+def params_to_flat(params: Mapping, sep: str = "/") -> dict:
+    """Nested params pytree -> flat {'a/b/c': array} dict (npz-friendly)."""
+    out: dict = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            key = f"{prefix}{sep}{k}" if prefix else str(k)
+            if isinstance(v, Mapping) or hasattr(v, "items"):
+                walk(v, key)
+            else:
+                out[key] = np.asarray(v)
+
+    walk(params, "")
+    return out
+
+
+def flat_to_params(flat: Mapping, sep: str = "/") -> dict:
+    """Inverse of :func:`params_to_flat`."""
+    tree: dict = {}
+    for key, v in flat.items():
+        cur = tree
+        parts = key.split(sep)
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = np.asarray(v)
+    return tree
+
+
+def save_params_npz(path, params: Mapping):
+    np.savez_compressed(path, **params_to_flat(params))
+
+
+def load_params_npz(path) -> dict:
+    with np.load(path) as z:
+        return flat_to_params({k: z[k] for k in z.files})
+
+
+# Model-name -> (converter, description) registry for the CLI.
+CONVERTERS = {
+    "vae": convert_vae,
+    "unet": convert_sd_unet,
+    "controlnet": convert_controlnet,
+    "clip": convert_clip_text,
+    "clip-proj": convert_clip_text_with_projection,
+}
+
+
 def export_diffusers_tree(params: Mapping) -> dict:
     """Flax params pytree -> flat diffusers-style state dict (numpy)."""
     import jax

@@ -25,6 +25,15 @@ from mrisr_tpu.ops.attention import chunked_attention
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Block-size tuning knobs (benchmarked via bench.py on the target chip).
+import os
+
+DEFAULT_BLOCK_Q = int(os.environ.get("MRISR_FLASH_BQ", "512"))
+DEFAULT_BLOCK_K = int(os.environ.get("MRISR_FLASH_BK", "512"))
+# Pad head dim to the 128-lane boundary inside the kernel (default); set
+# MRISR_FLASH_PAD_D=0 to hand Mosaic the raw d<128 tiles instead.
+PAD_D = os.environ.get("MRISR_FLASH_PAD_D", "1") == "1"
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_steps):
     kv_idx = pl.program_id(2)
@@ -95,7 +104,9 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention_tpu(q, k, v, scale: float, block_q: int = 512, block_k: int = 512):
+def flash_attention_tpu(
+    q, k, v, scale: float, block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K
+):
     """Online-softmax attention, [B, N, D] -> [B, N, D].
 
     Pads D to the 128-lane boundary internally (zero columns contribute
@@ -108,6 +119,8 @@ def flash_attention_tpu(q, k, v, scale: float, block_q: int = 512, block_k: int 
 
 def _pad_d(x):
     d = x.shape[-1]
+    if not PAD_D:
+        return x, d
     pad = (-d) % 128
     if pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))

@@ -1,0 +1,79 @@
+"""Native .safetensors IO + end-to-end convert-weights CLI."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrisr_tpu.data.safetensors_io import (
+    load_safetensors,
+    load_state_dict_any,
+    save_safetensors,
+)
+
+
+def test_safetensors_round_trip(tmp_path):
+    tensors = {
+        "a.weight": np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32),
+        "a.bias": np.arange(4, dtype=np.float32),
+        "ints": np.arange(6, dtype=np.int32).reshape(2, 3),
+        "half": np.ones((2, 2), np.float16),
+    }
+    p = tmp_path / "x.safetensors"
+    save_safetensors(p, tensors, metadata={"format": "pt"})
+    got = load_safetensors(p)
+    assert set(got) == set(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(got[k], tensors[k])
+        assert got[k].dtype == tensors[k].dtype
+
+
+def test_safetensors_bf16_upcast(tmp_path):
+    """BF16 tensors written by torch-style writers load as exact fp32."""
+    vals = np.asarray(jnp.asarray([[1.5, -2.0], [0.25, 3.0]], jnp.bfloat16))
+    raw = np.asarray(jnp.asarray(vals, jnp.bfloat16)).view(np.uint16)
+    import json
+
+    header = {
+        "w": {"dtype": "BF16", "shape": [2, 2], "data_offsets": [0, raw.nbytes]}
+    }
+    hjson = json.dumps(header).encode()
+    p = tmp_path / "bf16.safetensors"
+    with open(p, "wb") as f:
+        f.write(len(hjson).to_bytes(8, "little"))
+        f.write(hjson)
+        f.write(raw.tobytes())
+    got = load_safetensors(p)
+    np.testing.assert_array_equal(got["w"], np.asarray([[1.5, -2.0], [0.25, 3.0]], np.float32))
+
+
+def test_load_torch_checkpoint(tmp_path):
+    import torch
+
+    sd = {"w": torch.randn(3, 2), "b": torch.zeros(3)}
+    p = tmp_path / "m.bin"
+    torch.save(sd, p)
+    got = load_state_dict_any(p)
+    np.testing.assert_allclose(got["w"], sd["w"].numpy(), atol=0)
+
+
+def test_convert_weights_cli_end_to_end(tmp_path, key):
+    """safetensors checkpoint -> CLI convert -> npz params == flax init tree."""
+    from mrisr_tpu.cli import main as cli_main
+    from mrisr_tpu.models.convert import export_diffusers_tree, load_params_npz
+    from mrisr_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL(block_out_channels=(8, 8, 16, 16))
+    params = vae.init(key, jnp.zeros((1, 32, 32, 3)))
+    st = tmp_path / "vae.safetensors"
+    save_safetensors(st, export_diffusers_tree(params))
+
+    out = tmp_path / "vae_params.npz"
+    rc = cli_main(["convert-weights", "--model", "vae", "--input", str(st), "--output", str(out)])
+    assert rc == 0
+    got = load_params_npz(out)
+
+    flat_want = jax.tree_util.tree_leaves_with_path(params)
+    flat_got = jax.tree_util.tree_leaves_with_path(got)
+    assert len(flat_want) == len(flat_got)
+    for (pw, w), (pg, g) in zip(sorted(flat_want, key=str), sorted(flat_got, key=str)):
+        assert str(pw) == str(pg)
+        np.testing.assert_allclose(np.asarray(w), g, atol=0, err_msg=str(pw))
