@@ -28,11 +28,11 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 # Block-size tuning knobs (benchmarked via bench.py on the target chip).
 import os
 
-DEFAULT_BLOCK_Q = int(os.environ.get("MRISR_FLASH_BQ", "512"))
-DEFAULT_BLOCK_K = int(os.environ.get("MRISR_FLASH_BK", "512"))
+DEFAULT_BLOCK_Q = int(os.environ.get("MRISR_FLASH_BQ", "2048"))
+DEFAULT_BLOCK_K = int(os.environ.get("MRISR_FLASH_BK", "1024"))
 # Pad head dim to the 128-lane boundary inside the kernel (default); set
 # MRISR_FLASH_PAD_D=0 to hand Mosaic the raw d<128 tiles instead.
-PAD_D = os.environ.get("MRISR_FLASH_PAD_D", "1") == "1"
+PAD_D = os.environ.get("MRISR_FLASH_PAD_D", "0") == "1"
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_steps):
