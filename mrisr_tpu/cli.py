@@ -110,6 +110,26 @@ def main(argv=None):
     )
 
     p = sub.add_parser(
+        "train-latent",
+        help="PEFT training on the SD1.5 latent stack (ControlNet / LoRA / T2I-Adapter)",
+    )
+    _add_common(p)
+    _add_train_common(p)
+    p.add_argument("--mode", choices=["controlnet", "lora", "adapter"], default="controlnet")
+    p.add_argument("--index", required=False)
+    p.add_argument("--weights-dir", default=None,
+                   help="dir of converted .npz params (unet.npz, vae.npz, clip.npz)")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--lora-rank", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--warmup", type=int, default=500)
+    p.add_argument("--proportion-empty-prompts", type=float, default=0.1)
+    p.add_argument("--tiny", action="store_true", help="tiny tower config (hermetic/CPU)")
+    p.add_argument("--out", default="./outputs/latent")
+
+    p = sub.add_parser(
         "convert-weights",
         help="torch/diffusers checkpoint (.safetensors/.bin) -> flax params .npz",
     )
@@ -169,6 +189,8 @@ def main(argv=None):
 
         MRIEvaluator().evaluate_folders(args.gen, args.gt, state_file=args.state)
         return 0
+    if args.cmd == "train-latent":
+        return _train_latent(args)
     if args.cmd == "convert-weights":
         from mrisr_tpu.data.safetensors_io import load_state_dict_any
         from mrisr_tpu.models.convert import CONVERTERS, save_params_npz
@@ -447,6 +469,122 @@ def _train_resdiff(args):
                 vm = hook.maybe_run(i, val_params, jax.random.fold_in(val_key, i))
                 if vm:
                     logger.log(i, vm)
+    mgr.save(i, state, force=True)
+    mgr.close()
+    return 0
+
+
+def _train_latent(args):
+    """PEFT training loop (reconstructed reference hyperparameters: lr 1e-5,
+    cosine schedule + 500 warmup, grad-norm clip 1.0, CFG dropout 0.1 —
+    config cell 11 / src/adapters/utils.py log_configs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mrisr_tpu.data.loader import Loader
+    from mrisr_tpu.diffusion.schedules import sd15_schedule
+    from mrisr_tpu.models.adapter import T2IAdapter
+    from mrisr_tpu.models.controlnet import ControlNet
+    from mrisr_tpu.models.lora import init_lora_params
+    from mrisr_tpu.models.sd_unet import SDUNet
+    from mrisr_tpu.models.vae import AutoencoderKL
+    from mrisr_tpu.train.latent import (
+        make_adapter_train_step,
+        make_controlnet_train_step,
+        make_lora_train_step,
+    )
+    from mrisr_tpu.train.state import create_train_state, make_lr_schedule, make_optimizer
+    from mrisr_tpu.utils.checkpoint import CheckpointManager
+    from mrisr_tpu.utils.logging import MetricLogger
+
+    key = jax.random.PRNGKey(args.seed)
+    res = args.resolution
+    if args.tiny:
+        unet_cfg = dict(block_out_channels=(8, 16, 16, 16), heads=2, context_dim=16)
+        vae_cfg = dict(block_out_channels=(8, 8, 16, 16))
+        ctx_dim, ctx_len = 16, 7
+    else:
+        unet_cfg, vae_cfg = {}, {}
+        ctx_dim, ctx_len = 768, 77
+    unet = SDUNet(**unet_cfg)
+    vae = AutoencoderKL(**vae_cfg)
+    sched = sd15_schedule()
+
+    lat = jnp.zeros((1, res // 8, res // 8, 4))
+    t0 = jnp.array([1])
+    ctx0 = jnp.zeros((1, ctx_len, ctx_dim))
+    k1, k2, k3 = jax.random.split(key, 3)
+    unet_params = unet.init(k1, lat, t0, ctx0)
+    vae_params = vae.init(k2, jnp.zeros((1, res, res, 3)))
+    if args.weights_dir:
+        from pathlib import Path
+
+        from mrisr_tpu.models.convert import load_params_npz
+
+        wd = Path(args.weights_dir)
+        if (wd / "unet.npz").exists():
+            unet_params = load_params_npz(wd / "unet.npz")
+        if (wd / "vae.npz").exists():
+            vae_params = load_params_npz(wd / "vae.npz")
+    # Fixed-prompt conditioning (res_srdiff.py:125-130): one frozen embedding.
+    prompt_embeds = jax.random.normal(k3, (1, ctx_len, ctx_dim)) * 0.02
+    empty_embeds = jnp.zeros((1, ctx_len, ctx_dim))
+
+    frozen = {"unet": unet_params, "vae": vae_params}
+    lr_sched = make_lr_schedule("cosine", args.lr, args.warmup, args.steps)
+    tx = make_optimizer(
+        lr_sched, kind="adamw", max_grad_norm=1.0, grad_accum=args.grad_accum
+    )
+    if args.mode == "controlnet":
+        cn = ControlNet(
+            block_out_channels=unet.block_out_channels,
+            heads=unet.heads, context_dim=unet.context_dim,
+        )
+        train_params = cn.init(k1, lat, t0, ctx0, jnp.zeros((1, res, res, 3)))
+        apply_fn = cn.apply
+        step = make_controlnet_train_step(
+            unet, cn, vae, sched, prompt_embeds, empty_embeds,
+            args.proportion_empty_prompts,
+        )
+    elif args.mode == "lora":
+        train_params = init_lora_params(k1, unet_params, rank=args.lora_rank)
+        apply_fn = unet.apply
+        step = make_lora_train_step(
+            unet, vae, sched, prompt_embeds, unet_params,
+            empty_embeds=empty_embeds,
+            proportion_empty_prompts=args.proportion_empty_prompts,
+        )
+    else:
+        ad = T2IAdapter(channels=unet.block_out_channels)
+        train_params = ad.init(k1, jnp.zeros((1, res, res, 3)))
+        apply_fn = ad.apply
+        step = make_adapter_train_step(unet, ad, vae, sched, prompt_embeds)
+
+    state = create_train_state(apply_fn, train_params, tx)
+    mgr = CheckpointManager(f"{args.out}/ckpt")
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
+    logger = MetricLogger(args.out)
+
+    ds = _resolve_dataset(args)
+    loader = Loader(ds, batch_size=args.batch, shuffle=True, seed=args.seed)
+    i = int(state.step)
+    while i < args.steps:
+        for batch in loader:
+            if i >= args.steps:
+                break
+            b = {
+                "lr": jnp.asarray(np.asarray(batch["lr"], np.float32)),
+                "hr": jnp.asarray(np.asarray(batch["hr"], np.float32)),
+            }
+            state, m = step(state, frozen, b, jax.random.fold_in(key, i))
+            if i % 50 == 0:
+                logger.log(i, m)
+            if i > 0 and i % 200 == 0:  # checkpointing_steps: 200 (cell 11)
+                mgr.save(i, state)
+            i += 1
     mgr.save(i, state, force=True)
     mgr.close()
     return 0

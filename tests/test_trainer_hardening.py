@@ -189,3 +189,17 @@ def test_cli_stats_command(tmp_path, capsys):
     assert rc == 0
     report = json.loads((tmp_path / "s.json").read_text())
     assert report["low_field"]["n_subjects"] == 1
+
+
+def test_train_latent_cli_tiny_modes(tmp_path):
+    """PEFT training loop reachable from the CLI for all three modes."""
+    for mode in ("controlnet", "lora", "adapter"):
+        out = str(tmp_path / mode)
+        rc = cli_main(
+            ["train-latent", "--cpu", "--tiny", "--mode", mode,
+             "--steps", "2", "--batch", "2", "--resolution", "64",
+             "--warmup", "1", "--out", out]
+        )
+        assert rc == 0, mode
+        lines = [json.loads(l) for l in open(f"{out}/metrics.jsonl")]
+        assert lines and np.isfinite(lines[0]["loss"])
