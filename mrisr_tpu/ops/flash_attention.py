@@ -1,20 +1,25 @@
-"""Pallas flash-attention forward kernel for TPU.
+"""Pallas flash-attention kernels (forward + backward) for TPU.
 
 Replaces the reference's materialised (HW)^2 attention einsum
-(``ResDif_execution.ipynb`` cell 8 ``HF_guided_CA``) with an online-softmax
-tiled kernel: the scores tile lives only in VMEM, statistics (running max,
+(``ResDif_execution.ipynb`` cell 8 ``HF_guided_CA``) with online-softmax
+tiled kernels: the scores tile lives only in VMEM, statistics (running max,
 running sum, unnormalised accumulator) persist across KV tiles in VMEM
-scratch, fp32 accumulation throughout (see /opt/skills/guides docs for the
-pattern).
+scratch, fp32 accumulation throughout.
+
+Forward also emits the per-row logsumexp so the backward runs as two Pallas
+kernels (FlashAttention-2 style): a dq pass over KV blocks and a dk/dv pass
+over Q blocks, both recomputing probabilities from the saved statistics
+instead of materialising the score matrix.  Numerics are pinned against the
+dense/chunked references in tests/test_flash_attention.py (interpreter mode)
+and on real hardware in tests/test_flash_tpu.py.
 
 Scope: non-causal single-segment attention on ``[B, N, D]`` with N a
-multiple of the block size and D <= 128 (padded to 128 lanes).  The backward
-pass reuses the exact-equivalent chunked lax implementation via custom_vjp —
-numerically identical function, so gradients are exact.
+multiple of the block size and D <= 128.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -25,17 +30,24 @@ from mrisr_tpu.ops.attention import chunked_attention
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-# Block-size tuning knobs (benchmarked via bench.py on the target chip).
-import os
-
+# Block-size tuning knobs (benchmarked end-to-end via bench.py on v5e —
+# see PERF.md; larger KV blocks amortise the online-softmax statistics).
 DEFAULT_BLOCK_Q = int(os.environ.get("MRISR_FLASH_BQ", "2048"))
 DEFAULT_BLOCK_K = int(os.environ.get("MRISR_FLASH_BK", "1024"))
-# Pad head dim to the 128-lane boundary inside the kernel (default); set
-# MRISR_FLASH_PAD_D=0 to hand Mosaic the raw d<128 tiles instead.
+DEFAULT_BWD_BLOCK = int(os.environ.get("MRISR_FLASH_BWD_BLOCK", "512"))
+# Pad head dim to the 128-lane boundary inside the kernel; measured neutral
+# on v5e (the MXU charges K<128 contractions as a full pass), so default off.
 PAD_D = os.environ.get("MRISR_FLASH_PAD_D", "0") == "1"
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_steps):
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, kv_steps
+):
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -73,24 +85,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse_ref[0, 0, :] = m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37))
 
 
-def _flash_forward(q, k, v, scale, block_q, block_k):
+def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
     b, n, d = q.shape
     m = k.shape[1]
     kv_steps = m // block_k
 
     grid = (b, n // block_q, kv_steps)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_steps=kv_steps),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -99,8 +118,152 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v)
-    return out
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward (FlashAttention-2 style, probabilities recomputed from lse)
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale, kv_steps
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d]
+    do = do_ref[0].astype(jnp.float32)  # [bq, d]
+    lse = lse_ref[0, 0].reshape(-1, 1)  # [bq, 1]
+    delta = delta_ref[0, 0].reshape(-1, 1)  # [bq, 1] = rowsum(do * o)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bq, bk]
+    ds = p * (dp - delta)
+    dq_scr[...] += scale * jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == kv_steps - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *, scale, q_steps
+):
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d]
+    do = do_ref[0].astype(jnp.float32)  # [bq, d]
+    lse = lse_ref[0, 0].reshape(1, -1)  # [1, bq]
+    delta = delta_ref[0, 0].reshape(1, -1)  # [1, bq]
+
+    # s^T tile: [bk, bq]
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    pt = jnp.exp(st - lse)  # [bk, bq]
+    dv_scr[...] += jax.lax.dot(
+        pt.astype(do.dtype), do, preferred_element_type=jnp.float32
+    )
+    dpt = jax.lax.dot_general(
+        v.astype(jnp.float32), do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bk, bq]
+    dst = pt * (dpt - delta)
+    dk_scr[...] += scale * jax.lax.dot(
+        dst.astype(q.dtype), q, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(q_idx == q_steps - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, do, scale, block, interpret=False):
+    b, n, d = q.shape
+    m = k.shape[1]
+    bq = min(block, n)
+    bk = min(block, m)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[:, None, :]  # [b, 1, n]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_steps=m // bk),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        grid=(b, n // bq, m // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, q_steps=n // bq),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, d), k.dtype),
+            jax.ShapeDtypeStruct((b, m, d), v.dtype),
+        ),
+        grid=(b, m // bk, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, 1, bq), lambda b, ki, qi: (b, 0, qi)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public entry point with custom VJP
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -109,12 +272,11 @@ def flash_attention_tpu(
 ):
     """Online-softmax attention, [B, N, D] -> [B, N, D].
 
-    Pads D to the 128-lane boundary internally (zero columns contribute
-    nothing to scores; padded V columns are sliced off).  N (and KV length)
-    must divide the block sizes — the callers in ops/attention.py guarantee
-    this or fall back to the chunked path.
+    N (and KV length) must divide the block sizes — the callers in
+    ops/attention.py guarantee this or fall back to the chunked path.
     """
-    return _flash_fwd_impl(q, k, v, scale, block_q, block_k)
+    out, _ = _flash_fwd_impl(q, k, v, scale, block_q, block_k)
+    return out
 
 
 def _pad_d(x):
@@ -127,28 +289,38 @@ def _pad_d(x):
     return x, d
 
 
-def _flash_fwd_impl(q, k, v, scale, block_q, block_k):
+def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret=False):
     qp, d = _pad_d(q)
     kp, _ = _pad_d(k)
     vp, _ = _pad_d(v)
     block_q = min(block_q, qp.shape[1])
     block_k = min(block_k, kp.shape[1])
-    out = _flash_forward(qp, kp, vp, scale, block_q, block_k)
-    return out[..., :d]
+    out, lse = _flash_forward(qp, kp, vp, scale, block_q, block_k, interpret)
+    return out[..., :d], lse
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k):
-    return _flash_fwd_impl(q, k, v, scale, block_q, block_k), (q, k, v)
+    out, lse = _flash_fwd_impl(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, res, g):
-    q, k, v = res
-    # Exact same function via the differentiable chunked implementation.
-    _, vjp = jax.vjp(lambda q_, k_, v_: chunked_attention(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    qp, _ = _pad_d(q)
+    kp, _ = _pad_d(k)
+    vp, _ = _pad_d(v)
+    op, _ = _pad_d(o)
+    gp, d = _pad_d(g)
+    dq, dk, dv = _flash_backward(qp, kp, vp, op, lse, gp, scale, DEFAULT_BWD_BLOCK)
+    return dq[..., :d], dk[..., :d], dv[..., :d]
 
 
 flash_attention_tpu.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention_reference_vjp(q, k, v, scale):
+    """Exact chunked-lax attention (differentiable reference for tests)."""
+    return chunked_attention(q, k, v, scale)
 
 
 def flash_available(n: int, m: int, block: int = 512) -> bool:

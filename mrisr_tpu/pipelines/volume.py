@@ -82,15 +82,24 @@ def super_resolve_volume(
         slices = np.concatenate([slices, np.repeat(slices[-1:], pad_to - n, axis=0)])
 
     key = jax.random.PRNGKey(seed)
-    outs = []
+    outs: list[np.ndarray] = []
+    # Keep a window of batches in flight: JAX dispatch is async, so the
+    # host-side transfer/restack of batch i overlaps the device computing
+    # batch i+1..i+window instead of blocking per batch.
+    window = 4
+    in_flight: list = []
     for s in range(0, pad_to, batch_size):
         batch = slices[s : s + batch_size]
         if mesh is not None:
             from mrisr_tpu.parallel.mesh import batch_sharding
 
             batch = jax.device_put(batch, batch_sharding(mesh, 4))
-        sr = pipeline.super_resolve(batch, jax.random.fold_in(key, s), num_steps)
-        outs.append(np.asarray(sr, np.float32))
+        in_flight.append(
+            pipeline.super_resolve(batch, jax.random.fold_in(key, s), num_steps)
+        )
+        if len(in_flight) >= window:
+            outs.append(np.asarray(in_flight.pop(0), np.float32))
+    outs.extend(np.asarray(sr, np.float32) for sr in in_flight)
     sr_all = np.concatenate(outs)[:n]
 
     vol = restack_slices(sr_all, shapes, axis)

@@ -1,8 +1,8 @@
-"""Flash-attention kernel correctness.
+"""Flash-attention kernel correctness (forward + Pallas backward).
 
-On the CPU test backend the Pallas kernel runs in interpreter mode; the same
-kernel compiles natively on TPU.  Equivalence is checked against the dense
-reference implementation.
+On the CPU test backend the Pallas kernels run in interpreter mode; the
+same kernels compile natively on TPU (tests/test_flash_tpu.py).
+Equivalence is checked against the dense reference implementation.
 """
 import jax
 import jax.numpy as jnp
@@ -10,41 +10,10 @@ import numpy as np
 import pytest
 
 from mrisr_tpu.ops.attention import dense_attention, chunked_attention
-
-
-def _pallas_interpret(q, k, v, scale, block_q, block_k):
-    """Run the flash kernel in interpreter mode (CPU-safe)."""
-    import functools
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from mrisr_tpu.ops.flash_attention import _flash_kernel, _pad_d
-
-    qp, d = _pad_d(q)
-    kp, _ = _pad_d(k)
-    vp, _ = _pad_d(v)
-    b, n, dp = qp.shape
-    m = kp.shape[1]
-    kv_steps = m // block_k
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_steps=kv_steps),
-        out_shape=jax.ShapeDtypeStruct((b, n, dp), qp.dtype),
-        grid=(b, n // block_q, kv_steps),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_k, dp), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, dp), lambda b, qi, ki: (b, ki, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, qi, ki: (b, qi, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, dp), jnp.float32),
-        ],
-        interpret=True,
-    )(qp, kp, vp)
-    return out[..., :d]
+from mrisr_tpu.ops.flash_attention import (
+    _flash_backward,
+    _flash_fwd_impl,
+)
 
 
 @pytest.mark.parametrize("n,d,bq,bk", [(256, 32, 128, 128), (512, 64, 128, 256)])
@@ -55,8 +24,32 @@ def test_flash_kernel_matches_dense(key, n, d, bq, bk):
     v = jax.random.normal(k3, (2, n, d))
     scale = 1.0 / np.sqrt(d)
     ref = dense_attention(q, k, v, scale)
-    got = _pallas_interpret(q, k, v, scale, bq, bk)
+    got, lse = _flash_fwd_impl(q, k, v, scale, bq, bk, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    # logsumexp output matches the dense computation
+    logits = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    want_lse = jax.nn.logsumexp(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse[:, 0]), np.asarray(want_lse), atol=2e-5)
+
+
+@pytest.mark.parametrize("n,d,block", [(256, 32, 128), (512, 16, 256)])
+def test_flash_backward_matches_dense_vjp(key, n, d, block):
+    """The Pallas dq/dkv kernels vs jax.vjp through dense attention."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jax.random.normal(k1, (2, n, d))
+    k = jax.random.normal(k2, (2, n, d))
+    v = jax.random.normal(k3, (2, n, d))
+    g = jax.random.normal(k4, (2, n, d))
+    scale = 1.0 / np.sqrt(d)
+
+    ref, vjp = jax.vjp(lambda q_, k_, v_: dense_attention(q_, k_, v_, scale), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+
+    out, lse = _flash_fwd_impl(q, k, v, scale, block, block, interpret=True)
+    dq, dk, dv = _flash_backward(q, k, v, out, lse, g, scale, block, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=5e-4)
 
 
 def test_chunked_matches_dense(key):

@@ -33,6 +33,20 @@ out_flash = np.asarray(flash_attention_tpu(q, kk, v, d ** -0.5).astype(jnp.float
 out_exact = np.asarray(chunked_attention(q, kk, v, d ** -0.5).astype(jnp.float32))
 err = np.abs(out_flash - out_exact).max()
 assert err < 0.05, f"flash vs exact mismatch on TPU: {err}"
+
+# Pallas backward kernels vs the exact chunked VJP, on chip
+def loss_flash(q_, k_, v_):
+    return jnp.sum(flash_attention_tpu(q_, k_, v_, d ** -0.5).astype(jnp.float32) ** 2)
+
+def loss_exact(q_, k_, v_):
+    return jnp.sum(chunked_attention(q_, k_, v_, d ** -0.5).astype(jnp.float32) ** 2)
+
+gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, kk, v)
+ge = jax.grad(loss_exact, argnums=(0, 1, 2))(q, kk, v)
+for name, a, b in zip("q k v".split(), gf, ge):
+    gerr = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max()
+    rel = gerr / (np.abs(np.asarray(b, np.float32)).max() + 1e-6)
+    assert rel < 0.05, f"d{name} mismatch on TPU: rel={rel}"
 print(f"FLASH_TPU_OK err={err:.5f}")
 """
 
