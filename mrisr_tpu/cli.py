@@ -37,9 +37,58 @@ def _add_train_common(p):
     p.add_argument("--cache", default=None, help="native slice-cache file to train from")
 
 
+# typed-config field -> CLI argument name (precedence: CLI flag > config
+# file > parser default; see _apply_config)
+_CONFIG_TO_ARG = {
+    ("data", "resolution"): "resolution",
+    ("data", "batch_size"): "batch",
+    ("data", "data_dir"): "data_dir",
+    ("train", "max_steps"): "steps",
+    ("train", "seed"): "seed",
+    ("train", "val_every"): "val_every",
+    ("train", "mixed_precision"): "precision",
+    ("train", "gradient_accumulation"): "grad_accum",
+    ("train", "output_dir"): "out",
+    ("train", "proportion_empty_prompts"): "proportion_empty_prompts",
+    ("optim", "lr"): "lr",
+    ("optim", "warmup_steps"): "warmup",
+}
+
+
+def _apply_config(args, subparser):
+    """Fill args from --config for every flag the user left at its default."""
+    if not getattr(args, "config", None):
+        return args
+    from mrisr_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    defaults = {a.dest: a.default for a in subparser._actions}
+    for (section, field), dest in _CONFIG_TO_ARG.items():
+        if not hasattr(args, dest):
+            continue
+        if getattr(args, dest) != defaults.get(dest):
+            continue  # explicit CLI flag wins
+        sec = getattr(cfg, section, None)
+        if sec is None or not hasattr(sec, field):
+            continue
+        val = getattr(sec, field)
+        if val != getattr(type(sec)(), field):  # only values the file set
+            setattr(args, dest, val)
+    return args
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mrisr_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
+    subparsers = {}
+    _orig_add = sub.add_parser
+
+    def add_parser(name, **kw):
+        p = _orig_add(name, **kw)
+        subparsers[name] = p
+        return p
+
+    sub.add_parser = add_parser  # keep a name->parser registry for _apply_config
 
     p = sub.add_parser("preprocess-slices", help="BIDS NIfTI pairs -> per-slice npz")
     _add_common(p)
@@ -57,6 +106,7 @@ def main(argv=None):
 
     p = sub.add_parser("train-mnist", help="MNIST 14->28 toy SR")
     _add_common(p)
+    p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     p.add_argument("--mode", choices=["regression", "ddpm"], default="ddpm")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch", type=int, default=32)
@@ -91,6 +141,12 @@ def main(argv=None):
     p = sub.add_parser("stats", help="BIDS dataset analytics (subject/session overlap)")
     p.add_argument("--data-dir", required=True)
     p.add_argument("--out", default=None, help="optional JSON report path")
+
+    p = sub.add_parser("report", help="visual dataset report (LR|HR montages + stats)")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--axis", type=int, default=2)
+    p.add_argument("--max-subjects", type=int, default=None)
 
     p = sub.add_parser("sr-volume", help="NIfTI volume -> SR NIfTI volume")
     _add_common(p)
@@ -152,6 +208,8 @@ def main(argv=None):
     p.add_argument("--cpu-smoke", action="store_true")
 
     args = ap.parse_args(argv)
+    if getattr(args, "config", None):
+        args = _apply_config(args, subparsers[args.cmd])
 
     if getattr(args, "cpu", False):
         import jax
@@ -184,6 +242,12 @@ def main(argv=None):
         return _build_cache(args)
     if args.cmd == "stats":
         return _stats(args)
+    if args.cmd == "report":
+        from mrisr_tpu.data.report import visual_report
+
+        stats = visual_report(args.data_dir, args.out, args.axis, args.max_subjects)
+        print(f"wrote {len(stats['montages'])} montages + stats.json -> {args.out}")
+        return 0
     if args.cmd == "evaluate":
         from mrisr_tpu.eval.metrics import MRIEvaluator
 
@@ -280,14 +344,17 @@ def _train_mnist(args):
     )
     state = create_train_state(model.apply, params, make_optimizer(1e-3))
     sched = mnist_schedule(1000)
+    mgr = CheckpointManager(f"{args.out}/ckpt")
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
     step_fn = (
         make_mnist_regression_step(model)
         if args.mode == "regression"
         else make_mnist_ddpm_step(model, sched)
     )
     logger = MetricLogger(args.out)
-    mgr = CheckpointManager(f"{args.out}/ckpt")
-    i = 0
+    i = int(state.step)
     while i < args.steps:
         for batch in loader:
             if i >= args.steps:

@@ -203,3 +203,44 @@ def test_train_latent_cli_tiny_modes(tmp_path):
         assert rc == 0, mode
         lines = [json.loads(l) for l in open(f"{out}/metrics.jsonl")]
         assert lines and np.isfinite(lines[0]["loss"])
+
+
+def test_config_file_feeds_cli_defaults(tmp_path):
+    """--config values override parser defaults; explicit flags still win."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "data:\n  resolution: 32\n  batch_size: 2\ntrain:\n  max_steps: 2\n"
+        "  output_dir: '%s'\n" % (tmp_path / "cfgout")
+    )
+    rc = cli_main(["train-cnn", "--cpu", "--config", str(cfg)])
+    assert rc == 0
+    assert (tmp_path / "cfgout" / "metrics.jsonl").exists()
+
+    # explicit CLI flag beats the config file
+    rc = cli_main(
+        ["train-cnn", "--cpu", "--config", str(cfg), "--out", str(tmp_path / "cli")]
+    )
+    assert rc == 0
+    assert (tmp_path / "cli" / "metrics.jsonl").exists()
+
+
+def test_visual_report_cli(tmp_path):
+    """report subcommand: LR|HR montages + stats.json on a fixture tree."""
+    from mrisr_tpu.data.nifti import write_nifti
+
+    rng = np.random.default_rng(0)
+    sub = "sub-0001"
+    lr_dir = tmp_path / "64mT data" / sub / "ses-01" / "anat"
+    hr_dir = tmp_path / "3T data" / sub / "anat"
+    lr_dir.mkdir(parents=True), hr_dir.mkdir(parents=True)
+    write_nifti(lr_dir / f"{sub}_T1w.nii.gz", rng.random((8, 8, 6)).astype(np.float32))
+    write_nifti(
+        hr_dir / f"{sub}_acq-highres_T1w.nii.gz",
+        rng.random((16, 16, 12)).astype(np.float32),
+    )
+    out = tmp_path / "report"
+    rc = cli_main(["report", "--data-dir", str(tmp_path), "--out", str(out)])
+    assert rc == 0
+    assert (out / f"{sub}_lr_hr.png").exists()
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["paired_scans"] == 1 and len(stats["montages"]) == 1
