@@ -35,6 +35,8 @@ def _add_train_common(p):
         help="compute dtype (params stay fp32)",
     )
     p.add_argument("--cache", default=None, help="native slice-cache file to train from")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise the forward in backward (larger batches)")
 
 
 # typed-config field -> CLI argument name (precedence: CLI flag > config
@@ -490,7 +492,9 @@ def _train_resdiff(args):
         print(f"resumed from step {int(state.step)}")
     from mrisr_tpu.train.precision import get_policy
 
-    step = make_resdiff_train_step(unet, sched, get_policy(args.precision))
+    step = make_resdiff_train_step(
+        unet, sched, get_policy(args.precision), remat=args.remat
+    )
     logger = MetricLogger(args.out)
 
     cnn_apply = jax.jit(cnn.apply)

@@ -48,14 +48,28 @@ def make_cnn_train_step(model, policy: Policy | None = None) -> Callable:
     return step
 
 
-def make_resdiff_train_step(unet, sched: Schedule, policy: Policy | None = None) -> Callable:
+def make_resdiff_train_step(
+    unet, sched: Schedule, policy: Policy | None = None, remat: bool = False
+) -> Callable:
     """Stage-2: diffuse the residual (HR - cnn_sr), predict eps, MSE.
 
     With a bf16 ``policy`` the UNet forward/backward runs in bfloat16
     against fp32 master params (train/precision.py); the q-sample and the
-    loss stay fp32.
+    loss stay fp32.  ``remat=True`` rematerialises the UNet forward in the
+    backward pass (jax.checkpoint) — trades ~1 extra forward for not
+    storing every activation, enabling larger per-chip batches (the
+    reference enables torch gradient checkpointing the same way,
+    config cell 37 ``use_checkpoint``).
     """
     policy = policy or Policy()
+
+    def apply_unet(params, inp, gamma, k_drop):
+        return unet.apply(
+            params, inp, gamma, deterministic=False, rngs={"dropout": k_drop}
+        )
+
+    if remat:
+        apply_unet = jax.checkpoint(apply_unet)
 
     @jax.jit
     def step(state: TrainState, batch: dict, key: jax.Array):
@@ -71,9 +85,7 @@ def make_resdiff_train_step(unet, sched: Schedule, policy: Policy | None = None)
         def loss_fn(params):
             p = policy.cast_to_compute(params)
             inp = policy.cast_to_compute(jnp.concatenate([sr, x_t], axis=-1))
-            eps_pred = unet.apply(
-                p, inp, gamma, deterministic=False, rngs={"dropout": k_drop}
-            )
+            eps_pred = apply_unet(p, inp, gamma, k_drop)
             return l2(eps_pred.astype(jnp.float32), eps.astype(jnp.float32))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

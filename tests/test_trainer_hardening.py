@@ -244,3 +244,30 @@ def test_visual_report_cli(tmp_path):
     assert (out / f"{sub}_lr_hr.png").exists()
     stats = json.loads((out / "stats.json").read_text())
     assert stats["paired_scans"] == 1 and len(stats["montages"]) == 1
+
+
+def test_resdiff_remat_step_matches_no_remat():
+    """jax.checkpoint remat must not change loss or gradients."""
+    from mrisr_tpu.diffusion.schedules import resdiff_schedule
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+    from mrisr_tpu.train.steps import make_resdiff_train_step
+
+    key = jax.random.PRNGKey(0)
+    unet = ResDiffUNet(image_size=32, inner_channel=8, norm_groups=4)
+    params = unet.init(key, jnp.zeros((1, 32, 32, 2)), jnp.array([0.5]))
+    sched = resdiff_schedule(100)
+    batch = {
+        "sr": jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1)) * 0.1,
+        "hr": jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 1)) * 0.1,
+    }
+    outs = []
+    for remat in (False, True):
+        state = create_train_state(unet.apply, params, make_optimizer(1e-4))
+        step = make_resdiff_train_step(unet, sched, remat=remat)
+        state, m = step(state, batch, jax.random.PRNGKey(3))
+        outs.append((float(m["loss"]), state.params))
+    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
+    # fp reassociation through Adam gives ~1e-6 drift; semantics identical
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]), jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
