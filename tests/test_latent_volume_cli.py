@@ -106,3 +106,31 @@ def test_cli_build_index(tmp_path, rng):
     import json
 
     assert len(json.loads((tmp_path / "i.json").read_text())) == 1
+
+
+def test_volume_pipeline_mesh_sharded(tmp_path, key):
+    """Volume inference with batches sharded over the 8-device mesh."""
+    import jax
+
+    from mrisr_tpu.data.nifti import write_nifti
+    from mrisr_tpu.parallel.mesh import make_mesh
+    from mrisr_tpu.pipelines.volume import super_resolve_volume
+
+    rng = np.random.default_rng(0)
+    vol = (rng.random((16, 16, 8)) * 800).astype(np.float32)
+    src = tmp_path / "in.nii.gz"
+    write_nifti(src, vol)
+
+    seen_shardings = []
+
+    class ShardCheckPipeline:
+        def super_resolve(self, lr, key, num_steps=None):
+            seen_shardings.append(lr.sharding)
+            return lr
+
+    out = super_resolve_volume(
+        ShardCheckPipeline(), src, None, resolution=16, batch_size=8,
+        clip=(0, 800), mesh=make_mesh(8),
+    )
+    assert out.shape == vol.shape
+    assert seen_shardings and all(not s.is_fully_replicated for s in seen_shardings)
