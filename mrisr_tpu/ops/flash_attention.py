@@ -73,8 +73,9 @@ def _flash_kernel(
     p = jnp.exp(s - m_next)
     l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
-    m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-    l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+    # single-lane writes: the statistics live in column 0 only
+    m_scr[:, :1] = m_next
+    l_scr[:, :1] = l_next
 
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
