@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu-smoke", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +57,13 @@ def main():
     # Warmup / compile
     out = pipe.super_resolve(lr, k3, num_steps=args.steps)
     out.block_until_ready()
+
+    if args.profile:
+        from mrisr_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            out = pipe.super_resolve(lr, jax.random.fold_in(k3, 99), num_steps=args.steps)
+            out.block_until_ready()
 
     t0 = time.perf_counter()
     for i in range(args.repeats):

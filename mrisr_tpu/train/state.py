@@ -75,6 +75,7 @@ def make_optimizer(
     eps: float = 1e-8,
     max_grad_norm: float | None = None,
     grad_accum: int = 1,
+    skip_nonfinite: bool = False,
 ) -> optax.GradientTransformation:
     if kind == "adam":
         tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
@@ -87,6 +88,11 @@ def make_optimizer(
         raise ValueError(f"unknown optimizer {kind!r}")
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if skip_nonfinite:
+        # Failure containment the reference lacks: a NaN/inf gradient step
+        # is skipped (params/opt-state untouched) instead of poisoning the
+        # run; training aborts only after many consecutive bad steps.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     if grad_accum > 1:
         # Reference parity: gradient_accumulation_steps (config cell 11).
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)

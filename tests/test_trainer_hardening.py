@@ -271,3 +271,23 @@ def test_resdiff_remat_step_matches_no_remat():
     # fp reassociation through Adam gives ~1e-6 drift; semantics identical
     for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]), jax.tree_util.tree_leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_skip_nonfinite_guards_updates():
+    import optax
+
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+
+    def apply_fn(params, x):
+        return x * params["w"]
+
+    params = {"w": jnp.ones(())}
+    state = create_train_state(
+        apply_fn, params, make_optimizer(0.1, skip_nonfinite=True)
+    )
+    # a NaN gradient must leave params untouched...
+    s1 = state.apply_gradients(grads={"w": jnp.array(jnp.nan)})
+    assert float(s1.params["w"]) == 1.0
+    # ...and a following finite gradient still applies
+    s2 = s1.apply_gradients(grads={"w": jnp.ones(())})
+    assert float(s2.params["w"]) < 1.0
