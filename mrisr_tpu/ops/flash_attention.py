@@ -38,6 +38,10 @@ DEFAULT_BWD_BLOCK = int(os.environ.get("MRISR_FLASH_BWD_BLOCK", "512"))
 # Pad head dim to the 128-lane boundary inside the kernel; measured neutral
 # on v5e (the MXU charges K<128 contractions as a full pass), so default off.
 PAD_D = os.environ.get("MRISR_FLASH_PAD_D", "0") == "1"
+# Experimental: compute the softmax exponentials in bf16. Measured NEUTRAL
+# end-to-end on v5e (7.82 vs 7.86 slices/s/chip) — the VPU runs bf16 exp at
+# the fp32 rate — so this stays off; kept for future hardware.
+FAST_EXP = os.environ.get("MRISR_FLASH_FAST_EXP", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -70,7 +74,10 @@ def _flash_kernel(
     m_curr = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
     alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
+    if FAST_EXP:
+        p = jnp.exp((s - m_next).astype(jnp.bfloat16)).astype(jnp.float32)
+    else:
+        p = jnp.exp(s - m_next)
     l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
     # single-lane writes: the statistics live in column 0 only
