@@ -10,9 +10,7 @@ spatial self-attention, and HF-guided cross-attention.
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -89,7 +87,13 @@ class SEBlock(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """GroupNorm -> swish -> (dropout) -> 3x3 conv (SR3 'Block')."""
+    """GroupNorm -> swish -> (dropout) -> 3x3 conv (SR3 'Block').
+
+    Stays on the XLA GN+swish composition: the fused Pallas GN+SiLU kernel
+    (ops/groupnorm.py, verified on chip) measured NET NEGATIVE end-to-end
+    at 256^2 — the whole-image VMEM block doesn't fit in fp32 and the
+    fp32-stats fallback costs ~1 slice/s (PERF.md) — so it is not wired in.
+    """
 
     features: int
     groups: int = 32

@@ -18,7 +18,7 @@ UNet params ahead of the call (models/lora.py) — zero inference overhead.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
