@@ -99,6 +99,9 @@ def _flash_kernel(
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
     b, n, d = q.shape
     m = k.shape[1]
+    assert n % block_q == 0 and m % block_k == 0, (
+        f"flash blocks must tile the sequence: n={n} bq={block_q} m={m} bk={block_k}"
+    )
     kv_steps = m // block_k
 
     grid = (b, n // block_q, kv_steps)
@@ -331,12 +334,15 @@ def flash_attention_reference_vjp(q, k, v, scale):
     return chunked_attention(q, k, v, scale)
 
 
-def flash_available(n: int, m: int, block: int = 512) -> bool:
+def flash_available(n: int, m: int) -> bool:
+    """Gate must mirror the ACTUAL kernel block clamping: the kernel runs
+    with block_q = min(DEFAULT_BLOCK_Q, n) and block_k = min(DEFAULT_BLOCK_K, m),
+    so divisibility is checked against those clamped sizes."""
     try:
         return (
             jax.default_backend() == "tpu"
-            and n % min(block, n) == 0
-            and m % min(block, m) == 0
+            and n % min(DEFAULT_BLOCK_Q, n) == 0
+            and m % min(DEFAULT_BLOCK_K, m) == 0
             and n >= 1024
         )
     except Exception:

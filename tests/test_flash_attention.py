@@ -77,3 +77,18 @@ def test_chunked_gradients_match_dense(key):
     gd = jax.grad(loss_dense)(q)
     gc = jax.grad(loss_chunked)(q)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), atol=3e-4)
+
+
+def test_flash_available_gate_matches_kernel_clamping(monkeypatch):
+    """The dispatch gate must reject shapes the clamped blocks cannot tile
+    (a non-divisible KV length would silently truncate the KV loop)."""
+    import mrisr_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(fa, "DEFAULT_BLOCK_Q", 2048)
+    monkeypatch.setattr(fa, "DEFAULT_BLOCK_K", 1024)
+    assert fa.flash_available(16384, 16384)
+    assert fa.flash_available(4096, 4096)
+    # n=1536 clamps block_q to 1536 (divides), but m=1536 % 1024 != 0:
+    # the clamped KV block cannot tile the keys -> must be rejected
+    assert not fa.flash_available(1536, 1536)
