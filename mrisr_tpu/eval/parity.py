@@ -151,7 +151,7 @@ def run_phantom_resdiff(
     steps: int = 300,
     res: int = 64,
     batch: int = 8,
-    sample_steps: tuple = (10, 50, 250),
+    sample_steps: tuple = (10, 50, 250, 1000),
 ) -> dict:
     import jax
     import jax.numpy as jnp
