@@ -242,6 +242,7 @@ class SliceDataset:
         slice_axis: int = 2,
         cache_dir: str | Path = "./cache",
         register_fn=None,
+        do_n4: bool = False,
         lr_clip=(0, 2000),
         hr_clip=(0, 900),
         skip_subjects=("sub-15",),
@@ -252,6 +253,7 @@ class SliceDataset:
         self.cache_dir = Path(cache_dir)
         self.cache_dir.mkdir(parents=True, exist_ok=True)
         self.register_fn = register_fn
+        self.do_n4 = do_n4
         self.lr_clip = lr_clip
         self.hr_clip = hr_clip
         self.crop_start = crop_start
@@ -279,6 +281,13 @@ class SliceDataset:
         hr = read_nifti(item["hr"]).data.astype(np.float32)
         lr_img = read_nifti(item["lr"])
         lr = lr_img.data.astype(np.float32)
+        if self.do_n4:
+            # reference applies N4 to both volumes before registration
+            # (src/datasets/mri_datasets.py:61-64, do_n4 flag at :192)
+            from mrisr_tpu.data.bias_correction import n4_bias_correction
+
+            hr = n4_bias_correction(hr)
+            lr = n4_bias_correction(lr)
         if self.register_fn is not None and item["hr"] != item["lr"]:
             lr = self.register_fn(fixed=hr, moving=lr)
 

@@ -53,3 +53,25 @@ def test_n4_3d_and_empty_mask():
     assert out.shape == vol.shape and np.isfinite(out).all()
     zero = np.zeros((8, 8))
     np.testing.assert_array_equal(n4_bias_correction(zero), zero)
+
+
+def test_slice_dataset_do_n4(tmp_path):
+    """SliceDataset(do_n4=True) runs the native N4 before slicing
+    (reference do_n4 flag at src/datasets/mri_datasets.py:192)."""
+    from mrisr_tpu.data.datasets import SliceDataset
+    from mrisr_tpu.data.nifti import write_nifti
+
+    rng = np.random.default_rng(0)
+    vol = (rng.random((24, 24, 120)) * 500 + 100).astype(np.float32)
+    p = tmp_path / "vol.nii.gz"
+    write_nifti(p, vol)
+    pairs = [{"hr": str(p), "lr": str(p), "subject_id": "sub-01", "txt": "t"}]
+    ds = SliceDataset(
+        pairs, cache_dir=tmp_path / "c1", do_n4=True, crop_start=2, crop_end_margin=2
+    )
+    ds0 = SliceDataset(
+        pairs, cache_dir=tmp_path / "c2", do_n4=False, crop_start=2, crop_end_margin=2
+    )
+    a, b = ds[0]["hr"], ds0[0]["hr"]
+    assert a.shape == b.shape and np.isfinite(a).all()
+    assert np.abs(a - b).max() > 0  # correction actually applied
