@@ -11,10 +11,18 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from mrisr_tpu.ops.attention import spatial_attention, cross_attention_2d
+from mrisr_tpu.ops.space_to_depth import (
+    concat_s2d,
+    s2d_conv,
+    s2d_downsample_conv,
+    tile4,
+    tile4_vec,
+)
 
 
 class SinusoidalTimeEmbedding(nn.Module):
@@ -70,20 +78,94 @@ class SEBlock(nn.Module):
 
     Matches the grayscale-fixed ``ResSE`` (``ResDif_execution.ipynb`` cell 8):
     bottleneck ``max(1, C // reduction)``, bias-free Dense layers.
+
+    ``s2d=True`` (call arg — the same instance serves both layouts) treats
+    the input as a space-to-depth tensor whose PLAIN channel count is
+    ``C/4``: the global-average pool additionally averages the four (u,v)
+    parity copies (the same pixel set the plain pool sees), so params and
+    values match the plain path exactly.
     """
 
     reduction: int = 2
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
-        y = jnp.mean(x, axis=(1, 2))  # [B, C]
+    def __call__(self, x: jnp.ndarray, s2d: bool = False) -> jnp.ndarray:
+        if s2d:
+            b, h, w, c4 = x.shape
+            c = c4 // 4
+            y = jnp.mean(x.reshape(b, h, w, 4, c), axis=(1, 2, 3))  # [B, C]
+        else:
+            c = x.shape[-1]
+            y = jnp.mean(x, axis=(1, 2))  # [B, C]
         bottleneck = max(1, c // self.reduction)
         y = nn.Dense(bottleneck, use_bias=False)(y)
         y = nn.relu(y)
         y = nn.Dense(c, use_bias=False)(y)
         y = nn.sigmoid(y)
+        if s2d:
+            y = tile4_vec(y)
         return x * y[:, None, None, :] + x
+
+
+class SpaceConv(nn.Module):
+    """Stride-1 SAME conv applied to a SPACE-TO-DEPTH tensor.
+
+    Declares the PLAIN kernel shape ``(ks, ks, Cin, features)`` under the
+    same param names as ``nn.Conv`` (so checkpoints and init RNG streams are
+    interchangeable with the plain path — instantiate with ``name="Conv_0"``)
+    and rearranges it to the s2d form at apply time (ops/space_to_depth.py).
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        cin = y.shape[-1] // 4
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, cin, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return s2d_conv(y, kernel.astype(y.dtype), bias)
+
+
+class SGroupNorm(nn.Module):
+    """GroupNorm over the PLAIN channels of an s2d tensor.
+
+    Matches ``flax.linen.GroupNorm`` numerics (fp32 stats, fast variance
+    clipped at zero, eps 1e-6) with ``(C,)``-shaped scale/bias params, where
+    C is the plain channel count (input is ``[B, h, w, 4C]``).  Group g's
+    statistics pool channel set {k*C + c : k in 0..3, c in group g} — exactly
+    the pixels/channels the plain GroupNorm pools.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c4 = y.shape
+        c = c4 // 4
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+
+        xf = y.reshape(b, h, w, 4, g, c // g).astype(jnp.float32)
+        mu = jnp.mean(xf, axis=(1, 2, 3, 5), keepdims=True)
+        mu2 = jnp.mean(xf * xf, axis=(1, 2, 3, 5), keepdims=True)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        norm = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        norm = norm.reshape(b, h, w, c4)
+        sc = tile4_vec(scale.astype(jnp.float32))
+        bi = tile4_vec(bias.astype(jnp.float32))
+        return (norm * sc + bi).astype(y.dtype)
 
 
 class ConvBlock(nn.Module):
@@ -93,19 +175,29 @@ class ConvBlock(nn.Module):
     (ops/groupnorm.py, verified on chip) measured NET NEGATIVE end-to-end
     at 256^2 — the whole-image VMEM block doesn't fit in fp32 and the
     fp32-stats fallback costs ~1 slice/s (PERF.md) — so it is not wired in.
+
+    ``s2d=True`` runs the whole block on space-to-depth tensors (the
+    low-channel 256^2 stage is layout-bound otherwise — PERF.md round 3);
+    params are identical to the plain path.
     """
 
     features: int
     groups: int = 32
     dropout: float = 0.0
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.GroupNorm(num_groups=self.groups)(x)
+        if self.s2d:
+            h = SGroupNorm(self.groups, name="GroupNorm_0")(x)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, name="GroupNorm_0")(x)
         h = nn.swish(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Conv(self.features, (3, 3), padding="SAME")(h)
+        if self.s2d:
+            return SpaceConv(self.features, 3, name="Conv_0")(h)
+        return nn.Conv(self.features, (3, 3), padding="SAME", name="Conv_0")(h)
 
 
 class ResnetBlock(nn.Module):
@@ -114,17 +206,27 @@ class ResnetBlock(nn.Module):
     features: int
     groups: int = 32
     dropout: float = 0.0
+    s2d: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, emb: jnp.ndarray | None = None, deterministic: bool = True
     ) -> jnp.ndarray:
-        h = ConvBlock(self.features, self.groups)(x)
+        h = ConvBlock(self.features, self.groups, s2d=self.s2d)(x)
         if emb is not None:
-            h = h + nn.Dense(self.features)(emb)[:, None, None, :]
-        h = ConvBlock(self.features, self.groups, self.dropout)(h, deterministic)
-        if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1))(x)
+            d = nn.Dense(self.features)(emb)
+            if self.s2d:
+                d = tile4_vec(d)
+            h = h + d[:, None, None, :]
+        h = ConvBlock(self.features, self.groups, self.dropout, s2d=self.s2d)(
+            h, deterministic
+        )
+        in_ch = x.shape[-1] // 4 if self.s2d else x.shape[-1]
+        if in_ch != self.features:
+            if self.s2d:
+                x = SpaceConv(self.features, 1, name="Conv_0")(x)
+            else:
+                x = nn.Conv(self.features, (1, 1), name="Conv_0")(x)
         return h + x
 
 
@@ -150,23 +252,56 @@ class ResnetBlockWithAttn(nn.Module):
     groups: int = 32
     dropout: float = 0.0
     with_attn: bool = False
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, emb=None, deterministic: bool = True):
-        x = ResnetBlock(self.features, self.groups, self.dropout)(x, emb, deterministic)
+        assert not (self.s2d and self.with_attn), "attention blocks never run in s2d space"
+        x = ResnetBlock(self.features, self.groups, self.dropout, s2d=self.s2d)(
+            x, emb, deterministic
+        )
         if self.with_attn:
             x = SelfAttention2D(self.groups)(x)
         return x
 
 
 class Downsample(nn.Module):
-    """3x3 stride-2 conv (SR3 convention)."""
+    """3x3 stride-2 conv (SR3 convention).
+
+    ``s2d_exit=True`` consumes a space-to-depth tensor and emits the
+    normal-space half-resolution map (the downsample is where the s2d stage
+    naturally rejoins the rest of the UNet).
+    """
+
+    features: int
+    s2d_exit: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.s2d_exit:
+            return _S2DExitConv(self.features, name="Conv_0")(x)
+        return nn.Conv(
+            self.features, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            name="Conv_0",
+        )(x)
+
+
+class _S2DExitConv(nn.Module):
+    """Stride-2 pad-1 3x3 conv on an s2d tensor -> normal-space output.
+
+    Param-compatible with the plain ``nn.Conv`` inside :class:`Downsample`.
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.features, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return s2d_downsample_conv(x, kernel.astype(x.dtype), bias)
 
 
 def nearest_up2(x: jnp.ndarray) -> jnp.ndarray:
@@ -182,13 +317,24 @@ def nearest_up2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class Upsample(nn.Module):
-    """Nearest x2 then 3x3 conv (SR3 convention)."""
+    """Nearest x2 then 3x3 conv (SR3 convention).
+
+    ``s2d_entry=True`` takes a normal-space input and returns the upsampled
+    map in SPACE-TO-DEPTH form: ``s2d(nearest_up2(x))`` is a free channel
+    tile (every (u,v) sub-position equals the source pixel), so entering the
+    s2d stage at the upsample costs no transform pass.
+    """
 
     features: int
+    s2d_entry: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.features, (3, 3), padding="SAME")(nearest_up2(x))
+        if self.s2d_entry:
+            return SpaceConv(self.features, 3, name="Conv_0")(tile4(x))
+        return nn.Conv(self.features, (3, 3), padding="SAME", name="Conv_0")(
+            nearest_up2(x)
+        )
 
 
 class HFGuidedCrossAttention(nn.Module):

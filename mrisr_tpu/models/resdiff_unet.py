@@ -37,10 +37,12 @@ from mrisr_tpu.models.layers import (
     NoiseLevelMLP,
     ResnetBlockWithAttn,
     SEBlock,
+    SpaceConv,
     Upsample,
     ConvBlock,
 )
 from mrisr_tpu.ops.fourier import gaussian_highpass_split
+from mrisr_tpu.ops.space_to_depth import concat_s2d, depth_to_space, space_to_depth
 from mrisr_tpu.ops.wavelets import haar_dwt_highpass_sum
 
 
@@ -94,8 +96,10 @@ class FDInfoSpliter(nn.Module):
         return x_lf, x_hf
 
     def __call__(
-        self, x: jnp.ndarray, noise_emb: jnp.ndarray, static=None
+        self, x: jnp.ndarray, noise_emb: jnp.ndarray, static=None, io_s2d: bool = False
     ) -> jnp.ndarray:
+        if io_s2d:
+            return self._call_s2d(x, noise_emb, static)
         cnn_x = x[..., 0:1]
         xt = x[..., 1:2]
         b, h, w, _ = x.shape
@@ -108,6 +112,30 @@ class FDInfoSpliter(nn.Module):
 
         x_lf, x_hf = self.static_features(cnn_x) if static is None else static
         return jnp.concatenate([xt, cnn_x, denoise_x, x_lf, x_hf], axis=-1)
+
+    def _call_s2d(self, x, noise_emb, static):
+        """Space-to-depth variant of the per-step branch (sampler fast path).
+
+        ``x`` is ``s2d(concat([cnn_sr, x_t]))`` — ``[B, H/2, W/2, 8]`` with
+        channel order ``(u*2+v)*2 + {0: cnn, 1: x_t}``; ``static`` must hold
+        the chain-invariant ``(x_lf, x_hf)`` already in s2d form.  Every op
+        below acts on the same pixel values as the plain branch, so results
+        are exact up to float rounding.
+        """
+        assert static is not None, "io_s2d requires precomputed static features"
+        cnn_x = x[..., 0::2]  # s2d C=4 of the 1-channel map
+        xt = x[..., 1::2]
+        b, h2, w2, _ = x.shape
+
+        # noise_img[b, 2i+u, 2j+v, 0] = row[b, 2j+v] -> s2d channel (u*2+v).
+        row = self.noise_func(noise_emb)  # [B, W]
+        rr = row.reshape(b, 1, self.image_size // 2, 1, 2)
+        noise_img = jnp.broadcast_to(rr, (b, h2, w2, 2, 2)).reshape(b, h2, w2, 4)
+        noise_atten = self.noise_resSE(noise_img, s2d=True)
+        denoise_x = xt * noise_atten
+
+        x_lf, x_hf = static
+        return concat_s2d(xt, cnn_x, denoise_x, x_lf, x_hf)
 
 
 class ResDiffUNet(nn.Module):
@@ -128,6 +156,12 @@ class ResDiffUNet(nn.Module):
     norm_groups: int = 16
     dropout: float = 0.2
     out_channels: int = 1
+    # Run the full-resolution (level-0) stage on space-to-depth tensors:
+    # at C=32 the NHWC lane layout leaves convs 4x under-packed (10.9 vs
+    # 140+ TFLOP/s measured on v5e — PERF.md round 3); the s2d rewrite is
+    # mathematically exact and uses the SAME parameter tree, so it is on by
+    # default and disabled automatically when shapes don't allow it.
+    s2d_level0: bool = True
 
     def setup(self):
         self.fd_spliter = FDInfoSpliter(self.inner_channel, self.image_size)
@@ -155,12 +189,37 @@ class ResDiffUNet(nn.Module):
         gamma: jnp.ndarray,
         deterministic: bool = True,
         static=None,
+        io_s2d: bool = False,
     ) -> jnp.ndarray:
-        """``x``: [B, H, W, 2] = concat(cnn_sr, x_t) on channels; ``gamma``: [B]."""
-        n_levels = len(self.channel_mults)
+        """``x``: [B, H, W, 2] = concat(cnn_sr, x_t) on channels; ``gamma``: [B].
 
-        cnn_x = x[..., 0:1]
+        ``io_s2d=True`` (the sampler fast path) moves the model's I/O into
+        space-to-depth form: ``x`` is ``s2d(concat([cnn_sr, x_t]))`` of shape
+        [B, H/2, W/2, 8], ``static`` is required with its FD features already
+        in s2d form, and the returned eps is s2d [B, H/2, W/2, 4] — the whole
+        sampling chain then never touches a C=1 full-resolution tensor.
+        """
+        n_levels = len(self.channel_mults)
+        if io_s2d:
+            H, W = x.shape[1] * 2, x.shape[2] * 2
+        else:
+            H, W = x.shape[1], x.shape[2]
+        # Level-0 runs on space-to-depth tensors when shapes allow (exact
+        # rewrite, same params — see the class docstring / PERF.md round 3).
+        s2d_on = (
+            self.s2d_level0
+            and n_levels >= 2
+            and H % 2 == 0
+            and W % 2 == 0
+            and H not in self.attn_res
+        )
+        if io_s2d:
+            assert s2d_on and static is not None, (
+                "io_s2d requires s2d_level0-compatible shapes and precomputed static"
+            )
+
         if static is None:
+            cnn_x = x[..., 0:1]
             fd_static, dwt_queries = None, self._dwt_queries(cnn_x)
         else:
             fd_static, dwt_queries = static
@@ -170,25 +229,32 @@ class ResDiffUNet(nn.Module):
         # otherwise the fp32 emb promotes every downstream op to fp32.
         emb = NoiseLevelMLP(self.inner_channel)(gamma).astype(x.dtype)
 
-        h = self.fd_spliter(x, emb, static=fd_static)
-        h = nn.Conv(self.inner_channel, (3, 3), padding="SAME", name="conv_in")(h)
+        h = self.fd_spliter(x, emb, static=fd_static, io_s2d=io_s2d)
+        if s2d_on:
+            if not io_s2d:
+                h = space_to_depth(h)
+            h = SpaceConv(self.inner_channel, 3, name="conv_in")(h)
+        else:
+            h = nn.Conv(self.inner_channel, (3, 3), padding="SAME", name="conv_in")(h)
 
-        feats = [h]
+        feats = [h]  # level-0 entries live in s2d space when s2d_on
         feat_ch = [self.inner_channel]
-        now_res = x.shape[1]
+        now_res = H
         pre = self.inner_channel
         for i, mult in enumerate(self.channel_mults):
             ch = self.inner_channel * mult
             use_attn = now_res in self.attn_res
+            lvl_s2d = s2d_on and i == 0
             for _ in range(self.res_blocks):
-                h = ResnetBlockWithAttn(ch, self.norm_groups, self.dropout, use_attn)(
-                    h, emb, deterministic
-                )
+                h = ResnetBlockWithAttn(
+                    ch, self.norm_groups, self.dropout, use_attn, s2d=lvl_s2d
+                )(h, emb, deterministic)
                 feats.append(h)
                 feat_ch.append(ch)
             pre = ch
             if i != n_levels - 1:
-                h = Downsample(pre)(h)
+                # The level-0 downsample EXITS s2d space (normal-space output).
+                h = Downsample(pre, s2d_exit=lvl_s2d)(h)
                 now_res //= 2
                 # Skip connection is the CA-modulated map; trunk continues as h.
                 ca = HFGuidedCrossAttention(self.norm_groups)(h, dwt_queries[i])
@@ -205,14 +271,23 @@ class ResDiffUNet(nn.Module):
         for i, mult in enumerate(reversed(self.channel_mults)):
             ch = self.inner_channel * mult
             use_attn = now_res in self.attn_res
+            lvl_s2d = s2d_on and i == n_levels - 1
             for _ in range(self.res_blocks + 1):
                 skip = feats.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlockWithAttn(ch, self.norm_groups, self.dropout, use_attn)(
-                    h, emb, deterministic
-                )
+                if lvl_s2d:
+                    h = concat_s2d(h, skip)  # order-preserving s2d concat
+                else:
+                    h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlockWithAttn(
+                    ch, self.norm_groups, self.dropout, use_attn, s2d=lvl_s2d
+                )(h, emb, deterministic)
             if i != n_levels - 1:
-                h = Upsample(ch)(h)
+                # The upsample INTO level 0 re-enters s2d space for free
+                # (s2d of a nearest-x2 upsample is a channel tile).
+                h = Upsample(ch, s2d_entry=(s2d_on and i == n_levels - 2))(h)
                 now_res *= 2
 
-        return ConvBlock(self.out_channels, self.norm_groups, name="final_conv")(h)
+        h = ConvBlock(self.out_channels, self.norm_groups, name="final_conv", s2d=s2d_on)(h)
+        if s2d_on and not io_s2d:
+            h = depth_to_space(h)
+        return h

@@ -42,6 +42,22 @@ PAD_D = os.environ.get("MRISR_FLASH_PAD_D", "0") == "1"
 # end-to-end on v5e (7.82 vs 7.86 slices/s/chip) — the VPU runs bf16 exp at
 # the fp32 rate — so this stays off; kept for future hardware.
 FAST_EXP = os.environ.get("MRISR_FLASH_FAST_EXP", "0") == "1"
+# Experimental: run the online softmax in base-2 (scores pre-scaled by
+# log2(e), exponentials via exp2). Mathematically identical; saves one
+# multiply per exp IF the VPU's exp is not already exp2+mul under the hood.
+EXP2 = os.environ.get("MRISR_FLASH_EXP2", "0") == "1"
+LOG2E = 1.4426950408889634
+# Keep the probability tile in bf16 end-to-end: exp computes on bf16 and the
+# result feeds the PV matmul directly (it was cast to bf16 for the MXU anyway;
+# the old FAST_EXP round-tripped bf16->fp32->bf16).  The softmax denominator
+# still accumulates in fp32.  Measured NEUTRAL on v5e (8.43 vs 8.25 ms at the
+# 128^2 site) — kept off.
+P_BF16 = os.environ.get("MRISR_FLASH_P_BF16", "0") == "1"
+# Fold the 1/sqrt(d) scale into Q before the kernel instead of multiplying
+# every [bq, bk] score tile by it (one fewer VPU op per score element; the
+# kernel is VPU-bound).  Measured -10% at the 128^2 site on v5e
+# (8.25 -> 7.46 ms, tools/perf_layout2.py) — ON by default.
+PRESCALE_Q = os.environ.get("MRISR_FLASH_PRESCALE_Q", "1") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -50,7 +66,8 @@ FAST_EXP = os.environ.get("MRISR_FLASH_FAST_EXP", "0") == "1"
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, kv_steps
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, kv_steps,
+    prescaled=False,
 ):
     kv_idx = pl.program_id(2)
 
@@ -67,18 +84,28 @@ def _flash_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    s = s * scale
+    # In EXP2 mode the whole online softmax runs in base 2 (statistics are
+    # log2-scaled); exp2(x*log2e) == exp(x) so results are identical.
+    eff_scale = scale * LOG2E if EXP2 else scale
+    if not prescaled and eff_scale != 1.0:  # PRESCALE_Q folds it into Q outside
+        s = s * eff_scale
+    expf = jnp.exp2 if EXP2 else jnp.exp
 
     m_prev = m_scr[:, :1]  # [bq, 1]
     l_prev = l_scr[:, :1]
     m_curr = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    if FAST_EXP:
-        p = jnp.exp((s - m_next).astype(jnp.bfloat16)).astype(jnp.float32)
+    alpha = expf(m_prev - m_next)
+    if P_BF16:
+        p = expf((s - m_next).astype(jnp.bfloat16))  # stays bf16 for the MXU
+        p_sum = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    elif FAST_EXP:
+        p = expf((s - m_next).astype(jnp.bfloat16)).astype(jnp.float32)
+        p_sum = jnp.sum(p, axis=1, keepdims=True)
     else:
-        p = jnp.exp(s - m_next)
-    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        p = expf(s - m_next)
+        p_sum = jnp.sum(p, axis=1, keepdims=True)
+    l_next = alpha * l_prev + p_sum
 
     # single-lane writes: the statistics live in column 0 only
     m_scr[:, :1] = m_next
@@ -93,7 +120,10 @@ def _flash_kernel(
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse_ref[0, 0, :] = m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37))
+        # lse is always stored in natural-log units (the backward kernels
+        # assume it); in EXP2 mode the running max is log2-scaled.
+        m_nat = m_scr[:, 0] * (1.0 / LOG2E) if EXP2 else m_scr[:, 0]
+        lse_ref[0, 0, :] = m_nat + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37))
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
@@ -104,9 +134,16 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
     )
     kv_steps = m // block_k
 
+    prescaled = PRESCALE_Q
+    if prescaled:
+        eff = scale * LOG2E if EXP2 else scale
+        q = (q.astype(jnp.float32) * eff).astype(q.dtype)
+
     grid = (b, n // block_q, kv_steps)
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_steps=kv_steps),
+        functools.partial(
+            _flash_kernel, scale=scale, kv_steps=kv_steps, prescaled=prescaled
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, d), q.dtype),
             jax.ShapeDtypeStruct((b, 1, n), jnp.float32),

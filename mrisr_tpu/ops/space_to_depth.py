@@ -1,0 +1,148 @@
+"""Space-to-depth (pixel-unshuffle) execution of low-channel conv stages.
+
+Motivation (PERF.md round 3, tools/perf_layout*.py measurements on v5e):
+the ResDiff UNet's 256^2 stage runs at C=32, where XLA's NHWC lane layout
+leaves the MXU/VPU 4x under-packed — a 3x3 conv measures 10.9 TFLOP/s and
+even a 1x1 conv costs the same wall time.  The SAME convolution expressed on
+the space-to-depth transform of the tensor — (B, H, W, C) viewed as
+(B, H/2, W/2, 4C) — runs at 140-190 TFLOP/s because the channel dimension
+fills the 128-wide lanes.  The rewrite is exact: a stride-1 3x3 conv on the
+original grid equals a 3x3 conv on the s2d grid with a sparse rearrangement
+of the kernel (4x the nominal FLOPs, ~14x the execution rate).
+
+Channel order convention: s2d index ``(u*2 + v) * C + c`` where ``u``/``v``
+are the row/col parities ("(u,v)-major, c-minor").  All helpers here agree
+on it.
+
+This replaces what the reference gets from cuDNN's implicit layout handling
+(the reference runs the same UNet through torch CUDA kernels — SURVEY.md §2
+"ResDiff UNet" row); on TPU the layout transformation has to be explicit.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """``[B, H, W, C] -> [B, H/2, W/2, 4C]``, (u,v)-major channel order."""
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, f"s2d needs even spatial dims, got {h}x{w}"
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(y: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b, h, w, c4 = y.shape
+    c = c4 // 4
+    y = y.reshape(b, h, w, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def concat_s2d(*tensors: jnp.ndarray) -> jnp.ndarray:
+    """Channel-concat of s2d tensors that PRESERVES standard order.
+
+    ``concat_s2d(s2d(x), s2d(y)) == s2d(concat([x, y], axis=-1))`` — a plain
+    ``jnp.concatenate`` would interleave the (u,v) blocks wrongly.
+    """
+    B, h, w, _ = tensors[0].shape
+    parts = [t.reshape(B, h, w, 4, t.shape[-1] // 4) for t in tensors]
+    out = jnp.concatenate(parts, axis=-1)
+    return out.reshape(B, h, w, out.shape[-2] * out.shape[-1])
+
+
+def tile4(z: jnp.ndarray) -> jnp.ndarray:
+    """s2d of the nearest-x2 upsample: ``s2d(nearest_up2(z)) == tile4(z)``.
+
+    Every (u, v) sub-position of the upsampled image is a copy of ``z``, so
+    entering s2d space after an upsample is a free channel tile.
+    """
+    return jnp.tile(z, (1, 1, 1, 4))
+
+
+def tile4_vec(v: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel vector (bias / scale / embedding row) lifted to s2d order."""
+    return jnp.tile(v, (1,) * (v.ndim - 1) + (4,))
+
+
+def s2d_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a stride-1 SAME conv kernel to act on s2d tensors.
+
+    ``conv(x, w, SAME) == d2s(conv(s2d(x), s2d_conv_kernel(w), SAME))`` for
+    odd kernel sizes.  Derivation: output pixel ``y[2i+r, 2j+s]`` reads input
+    ``x[2i+r+a, 2j+s+b]``; writing ``2i+r+a = 2(i+A)+u`` gives
+    ``A = (r+a)//2, u = (r+a)%2``, so each original tap lands at a unique
+    (A, u) per output parity r — the s2d kernel is (ks x ks x 4Cin x 4Cout)
+    with 25% structural density (each weight appears once per output parity).
+    """
+    ks, ks2_, cin, cout = w.shape
+    assert ks == ks2_ and ks % 2 == 1, f"odd square kernels only, got {w.shape}"
+    k2 = ks // 2
+    offs = []
+    for r in (0, 1):
+        for a in range(ks):
+            offs.append((r + a - k2) // 2)
+    amin, amax = min(offs), max(offs)
+    ks2 = amax - amin + 1
+
+    w2 = jnp.zeros((ks2, ks2, 4 * cin, 4 * cout), w.dtype)
+    for a in range(ks):
+        for b_ in range(ks):
+            for r in (0, 1):
+                for s in (0, 1):
+                    A = (r + a - k2) // 2
+                    u = (r + a - k2) % 2
+                    B = (s + b_ - k2) // 2
+                    v = (s + b_ - k2) % 2
+                    ci0 = (u * 2 + v) * cin
+                    co0 = (r * 2 + s) * cout
+                    w2 = w2.at[
+                        A - amin, B - amin, ci0 : ci0 + cin, co0 : co0 + cout
+                    ].set(w[a, b_])
+    return w2
+
+
+def s2d_downsample_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange the SR3 stride-2 pad-1 3x3 downsample kernel for s2d input.
+
+    The downsample EXITS s2d space: output is a normal-space ``[B, H/2, W/2,
+    Cout]`` map.  ``o[i,j] = sum_{a,b in 0..2} x[2i+a-1, 2j+b-1] W[a,b]``
+    becomes a 2x2 stride-1 conv over s2d blocks with padding ((1,0),(1,0)).
+    """
+    ks, ks2_, cin, cout = w.shape
+    assert ks == 3 and ks2_ == 3, f"downsample kernel must be 3x3, got {w.shape}"
+    w2 = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for a in range(3):
+        for b_ in range(3):
+            A = (a - 1) // 2  # in {-1, 0}
+            u = (a - 1) % 2
+            B = (b_ - 1) // 2
+            v = (b_ - 1) % 2
+            ci0 = (u * 2 + v) * cin
+            w2 = w2.at[A + 1, B + 1, ci0 : ci0 + cin, :].set(w[a, b_])
+    return w2
+
+
+def s2d_conv(y: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Apply a plain stride-1 SAME conv kernel ``w`` to an s2d tensor."""
+    w2 = s2d_conv_kernel(w).astype(y.dtype)
+    out = jax.lax.conv_general_dilated(
+        y, w2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    if bias is not None:
+        out = out + tile4_vec(bias).astype(y.dtype)
+    return out
+
+
+def s2d_downsample_conv(
+    y: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Stride-2 pad-1 3x3 conv on an s2d tensor; returns NORMAL-space output."""
+    w2 = s2d_downsample_kernel(w).astype(y.dtype)
+    out = jax.lax.conv_general_dilated(
+        y, w2, (1, 1), ((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    if bias is not None:
+        out = out + bias.astype(y.dtype)
+    return out

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from mrisr_tpu.diffusion.schedules import Schedule
 from mrisr_tpu.models.resdiff_unet import ResDiffUNet
 from mrisr_tpu.models.simple_cnn import SimpleCNN
+from mrisr_tpu.ops.space_to_depth import concat_s2d, depth_to_space, space_to_depth
 from mrisr_tpu.pipelines.sampler import sr3_ancestral_sample
 
 
@@ -63,7 +64,41 @@ class ResDiffPipeline:
 
         # Chain-invariant features (FFT split + DWT pyramid of cnn_sr) are
         # computed ONCE here, not inside the 50-step scan body.
-        static = self.unet.apply(unet_params, cnn_sr, method="compute_static")
+        (x_lf, x_hf), dwt_queries = self.unet.apply(
+            unet_params, cnn_sr, method="compute_static"
+        )
+
+        H, W = cnn_sr.shape[1], cnn_sr.shape[2]
+        io_s2d = (
+            getattr(self.unet, "s2d_level0", False)
+            and len(self.unet.channel_mults) >= 2
+            and H % 2 == 0
+            and W % 2 == 0
+            and H not in self.unet.attn_res
+        )
+
+        if io_s2d:
+            # Run the WHOLE chain in space-to-depth form: the carry, the
+            # denoiser I/O, and every elementwise sampler op stay at C=4
+            # half-resolution; the only transforms are one s2d of cnn_sr and
+            # one d2s of the final residual (see ResDiffUNet docstring).
+            cnn_s2d = space_to_depth(cnn_sr)
+            static = ((space_to_depth(x_lf), space_to_depth(x_hf)), dwt_queries)
+
+            def eps_fn(x_t, gamma):
+                inp = concat_s2d(cnn_s2d, x_t)
+                return self.unet.apply(
+                    unet_params, inp, gamma, static=static, io_s2d=True
+                )
+
+            key, k0 = jax.random.split(key)
+            x_T = jax.random.normal(k0, cnn_s2d.shape, cnn_s2d.dtype)
+            residual = sr3_ancestral_sample(
+                self.sched, eps_fn, x_T, key, num_steps=num_steps, spacing=spacing
+            )
+            return cnn_sr + depth_to_space(residual)
+
+        static = ((x_lf, x_hf), dwt_queries)
 
         def eps_fn(x_t, gamma):
             inp = jnp.concatenate([cnn_sr, x_t], axis=-1)

@@ -1,0 +1,156 @@
+"""Space-to-depth level-0 stage: exactness vs the plain path.
+
+The s2d rewrite (ops/space_to_depth.py, PERF.md round 3) must be a pure
+execution-layout change: identical param trees, identical init values, and
+outputs/gradients equal to the plain path up to float rounding.
+"""
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+
+from mrisr_tpu.ops.space_to_depth import (
+    concat_s2d,
+    depth_to_space,
+    s2d_conv,
+    s2d_downsample_conv,
+    space_to_depth,
+    tile4,
+)
+
+
+def _conv(x, w, strides=(1, 1), padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+class TestOps:
+    def test_roundtrip(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 3))
+        assert jnp.allclose(depth_to_space(space_to_depth(x)), x)
+
+    def test_concat_preserves_standard_order(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 3))
+        y = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 12, 5))
+        got = concat_s2d(space_to_depth(x), space_to_depth(y))
+        want = space_to_depth(jnp.concatenate([x, y], axis=-1))
+        assert jnp.allclose(got, want)
+
+    def test_tile4_is_s2d_of_nearest_up2(self):
+        from mrisr_tpu.models.layers import nearest_up2
+
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 6, 3))
+        assert jnp.allclose(tile4(z), space_to_depth(nearest_up2(z)))
+
+    @pytest.mark.parametrize("ks", [1, 3, 5])
+    def test_stride1_conv(self, ks):
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 12, 3))
+        w = jax.random.normal(jax.random.PRNGKey(4), (ks, ks, 3, 7))
+        b = jax.random.normal(jax.random.PRNGKey(5), (7,))
+        want = _conv(x, w) + b
+        got = depth_to_space(s2d_conv(space_to_depth(x), w, b))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_downsample_conv_exits_to_normal_space(self):
+        x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 12, 3))
+        w = jax.random.normal(jax.random.PRNGKey(7), (3, 3, 3, 7))
+        b = jax.random.normal(jax.random.PRNGKey(8), (7,))
+        want = _conv(x, w, strides=(2, 2), padding=((1, 1), (1, 1))) + b
+        got = s2d_downsample_conv(space_to_depth(x), w, b)
+        assert got.shape == (2, 4, 6, 7)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet_pair():
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+
+    kw = dict(image_size=16, inner_channel=8, channel_mults=(1, 2),
+              norm_groups=4, attn_res=())
+    plain = ResDiffUNet(s2d_level0=False, **kw)
+    s2d = ResDiffUNet(s2d_level0=True, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 2))
+    gamma = jnp.array([0.3, 0.8])
+    params = plain.init(jax.random.PRNGKey(1), x, gamma)
+    return plain, s2d, params, x, gamma
+
+
+class TestUNetParity:
+    def test_param_trees_and_init_identical(self, tiny_unet_pair):
+        plain, s2d, params, x, gamma = tiny_unet_pair
+        p2 = s2d.init(jax.random.PRNGKey(1), x, gamma)
+        k1 = {jtu.keystr(kp): v for kp, v in jtu.tree_leaves_with_path(params)}
+        k2 = {jtu.keystr(kp): v for kp, v in jtu.tree_leaves_with_path(p2)}
+        assert set(k1) == set(k2)
+        for name in k1:
+            np.testing.assert_array_equal(k1[name], k2[name], err_msg=name)
+
+    def test_forward_matches(self, tiny_unet_pair):
+        plain, s2d, params, x, gamma = tiny_unet_pair
+        o1 = plain.apply(params, x, gamma)
+        o2 = s2d.apply(params, x, gamma)
+        np.testing.assert_allclose(o1, o2, atol=5e-5)
+
+    def test_gradients_match(self, tiny_unet_pair):
+        plain, s2d, params, x, gamma = tiny_unet_pair
+
+        def loss(model):
+            def f(p):
+                return jnp.sum(model.apply(p, x, gamma) ** 2)
+
+            return f
+
+        g1 = jax.grad(loss(plain))(params)
+        g2 = jax.grad(loss(s2d))(params)
+        for (kp, a), (_, b) in zip(
+            jtu.tree_leaves_with_path(g1), jtu.tree_leaves_with_path(g2)
+        ):
+            np.testing.assert_allclose(
+                a, b, atol=1e-3, rtol=1e-3, err_msg=jtu.keystr(kp)
+            )
+
+    def test_io_s2d_eps_matches_plain(self, tiny_unet_pair):
+        """The sampler fast path (s2d I/O, s2d static) is the same function."""
+        plain, s2d, params, x, gamma = tiny_unet_pair
+        cnn_sr, x_t = x[..., 0:1], x[..., 1:2]
+        (x_lf, x_hf), dwt = plain.apply(params, cnn_sr, method="compute_static")
+
+        ref = plain.apply(params, x, gamma, static=((x_lf, x_hf), dwt))
+        inp = concat_s2d(space_to_depth(cnn_sr), space_to_depth(x_t))
+        got = s2d.apply(
+            params, inp, gamma,
+            static=((space_to_depth(x_lf), space_to_depth(x_hf)), dwt),
+            io_s2d=True,
+        )
+        np.testing.assert_allclose(depth_to_space(got), ref, atol=5e-5)
+
+    def test_pipeline_uses_s2d_chain(self, tiny_unet_pair):
+        """super_resolve runs end-to-end through the io_s2d fast path."""
+        from mrisr_tpu.diffusion.schedules import resdiff_schedule
+        from mrisr_tpu.models.simple_cnn import SimpleCNN
+        from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
+
+        plain, s2d, params, x, gamma = tiny_unet_pair
+        cnn = SimpleCNN()
+        lr = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 1))
+        cnn_params = cnn.init(jax.random.PRNGKey(4), lr)
+        pipe = ResDiffPipeline(cnn, s2d, resdiff_schedule(64), cnn_params, params)
+        out = pipe.super_resolve(lr, jax.random.PRNGKey(5), num_steps=4)
+        assert out.shape == (1, 16, 16, 1)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_odd_size_falls_back_to_plain(self):
+        from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+
+        m = ResDiffUNet(image_size=18, inner_channel=8, channel_mults=(1, 2),
+                        norm_groups=4, attn_res=(), s2d_level0=True)
+        # 18 is even but 18//2=9 is odd only at deeper levels (not s2d'd);
+        # a genuinely odd input must not crash:
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 15, 15, 2))
+        m_odd = ResDiffUNet(image_size=15, inner_channel=8, channel_mults=(1,),
+                            norm_groups=4, attn_res=(), s2d_level0=True)
+        params = m_odd.init(jax.random.PRNGKey(1), x, jnp.array([0.5]))
+        out = m_odd.apply(params, x, jnp.array([0.5]))
+        assert out.shape == (1, 15, 15, 1)
