@@ -205,6 +205,9 @@ def main(argv=None):
     p.add_argument("--resdiff-steps", type=int, default=300)
     p.add_argument("--resolution", type=int, default=64)
     p.add_argument("--index", default=None, help="FastMRI index for the real-data anchor")
+    p.add_argument("--n-train", type=int, default=64, help="phantom training-set size")
+    p.add_argument("--lr-schedule", default="constant", choices=["constant", "cosine"])
+    p.add_argument("--batch", type=int, default=8, help="phantom training batch size")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -280,6 +283,9 @@ def main(argv=None):
             resdiff_steps=args.resdiff_steps,
             res=args.resolution,
             index_json=args.index,
+            n_train=args.n_train,
+            lr_schedule=args.lr_schedule,
+            batch=args.batch,
         )
         for k in ("mnist_regression", "phantom_cnn", "phantom_resdiff", "fastmri_cnn"):
             if k in report:

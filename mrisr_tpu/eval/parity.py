@@ -117,7 +117,7 @@ def run_mnist(steps: int = 300, batch: int = 64) -> dict:
     }
 
 
-def run_phantom_cnn(steps: int = 400, res: int = 64, batch: int = 8) -> dict:
+def run_phantom_cnn(steps: int = 400, res: int = 64, batch: int = 8, n_train: int = 64) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +130,7 @@ def run_phantom_cnn(steps: int = 400, res: int = 64, batch: int = 8) -> dict:
     params = cnn.init(key, jnp.zeros((1, res, res, 1)))
     state = create_train_state(cnn.apply, params, make_optimizer(1e-4))
     step = make_cnn_train_step(cnn)
-    lr_all, hr_all = _phantom_batches(64, res)
+    lr_all, hr_all = _phantom_batches(n_train, res)
     for i in range(steps):
         idx = np.random.default_rng(i).integers(0, len(lr_all), batch)
         b = {"lr": jnp.asarray(lr_all[idx]), "hr": jnp.asarray(hr_all[idx])}
@@ -152,6 +152,9 @@ def run_phantom_resdiff(
     res: int = 64,
     batch: int = 8,
     sample_steps: tuple = (10, 50, 250, 1000),
+    n_train: int = 64,
+    lr_schedule: str = "constant",
+    ema_decay: float = 0.99,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -169,12 +172,18 @@ def run_phantom_resdiff(
     unet = ResDiffUNet(image_size=res, inner_channel=16, norm_groups=8)
     params = unet.init(key, jnp.zeros((1, res, res, 2)), jnp.array([0.5]))
     sched = resdiff_schedule(1000)
-    state = create_train_state(
-        unet.apply, params, make_optimizer(2e-4), ema_decay=0.99
-    )
+    if lr_schedule == "cosine":
+        import optax
+
+        opt = make_optimizer(
+            optax.cosine_decay_schedule(2e-4, max(steps, 1), alpha=0.05)
+        )
+    else:
+        opt = make_optimizer(2e-4)
+    state = create_train_state(unet.apply, params, opt, ema_decay=ema_decay)
     step = make_resdiff_train_step(unet, sched)
 
-    lr_all, hr_all = _phantom_batches(64, res)
+    lr_all, hr_all = _phantom_batches(n_train, res)
     cnn_apply = jax.jit(cnn.apply)
     for i in range(steps):
         idx = np.random.default_rng(10_000 + i).integers(0, len(lr_all), batch)
@@ -252,13 +261,22 @@ def run_parity(
     resdiff_steps: int = 300,
     res: int = 64,
     index_json: str | None = None,
+    n_train: int = 64,
+    lr_schedule: str = "constant",
+    batch: int = 8,
 ) -> dict:
     t0 = time.time()
     report: dict = {"anchors": REFERENCE_ANCHORS}
     report["mnist_regression"] = run_mnist(mnist_steps)
-    cnn_res = run_phantom_cnn(phantom_steps, res)
+    cnn_res = run_phantom_cnn(phantom_steps, res, batch=batch, n_train=n_train)
     report["phantom_cnn"] = {k: v for k, v in cnn_res.items() if k != "cnn_params"}
-    report["phantom_resdiff"] = run_phantom_resdiff(cnn_res, resdiff_steps, res)
+    report["phantom_resdiff"] = run_phantom_resdiff(
+        cnn_res, resdiff_steps, res, batch=batch, n_train=n_train,
+        lr_schedule=lr_schedule,
+    )
+    report["config"] = {
+        "n_train": n_train, "lr_schedule": lr_schedule, "res": res, "batch": batch
+    }
     if index_json:
         report["fastmri_cnn"] = run_fastmri_cnn(index_json)
     report["elapsed_sec"] = round(time.time() - t0, 1)

@@ -58,6 +58,14 @@ P_BF16 = os.environ.get("MRISR_FLASH_P_BF16", "0") == "1"
 # kernel is VPU-bound).  Measured -10% at the 128^2 site on v5e
 # (8.25 -> 7.46 ms, tools/perf_layout2.py) — ON by default.
 PRESCALE_Q = os.environ.get("MRISR_FLASH_PRESCALE_Q", "1") == "1"
+# Compute the softmax denominator on the MXU instead of a VPU row-sum: append
+# a ones column to V so the PV matmul emits sum_j p_ij in an output lane the
+# MXU pads (and charges for) anyway; the accumulator's alpha-rescale then
+# carries l with no separate statistics.  The denominator becomes a sum of
+# the bf16-rounded p (the numerator already was), so outputs move ~1e-3
+# relative vs the fp32-sum path — fine for bf16 pipelines, env-gated for the
+# exact-tolerance tests.
+V_AUG = os.environ.get("MRISR_FLASH_V_AUG", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -92,38 +100,49 @@ def _flash_kernel(
     expf = jnp.exp2 if EXP2 else jnp.exp
 
     m_prev = m_scr[:, :1]  # [bq, 1]
-    l_prev = l_scr[:, :1]
     m_curr = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
     alpha = expf(m_prev - m_next)
     if P_BF16:
         p = expf((s - m_next).astype(jnp.bfloat16))  # stays bf16 for the MXU
-        p_sum = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
     elif FAST_EXP:
         p = expf((s - m_next).astype(jnp.bfloat16)).astype(jnp.float32)
-        p_sum = jnp.sum(p, axis=1, keepdims=True)
     else:
         p = expf(s - m_next)
-        p_sum = jnp.sum(p, axis=1, keepdims=True)
-    l_next = alpha * l_prev + p_sum
+    m_scr[:, :1] = m_next  # single-lane write: the max lives in column 0
 
-    # single-lane writes: the statistics live in column 0 only
-    m_scr[:, :1] = m_next
-    l_scr[:, :1] = l_next
-
-    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
+    if V_AUG:
+        # V carries a trailing ones column: the PV dot emits the running
+        # denominator in acc's last column and alpha rescales it for free.
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+    else:
+        p_sum = jnp.sum(
+            p.astype(jnp.float32) if p.dtype != jnp.float32 else p,
+            axis=1, keepdims=True,
+        )
+        l_scr[:, :1] = alpha * l_scr[:, :1] + p_sum
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
 
     @pl.when(kv_idx == kv_steps - 1)
     def _store():
-        l = l_scr[:, :1]
+        acc = acc_scr[...]
+        if V_AUG:
+            l = acc[:, acc.shape[1] - 1 :]
+            out = acc[:, : acc.shape[1] - 1]
+        else:
+            l = l_scr[:, :1]
+            out = acc
+        l_col = l[:, 0]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (out * l_inv).astype(o_ref.dtype)
         # lse is always stored in natural-log units (the backward kernels
         # assume it); in EXP2 mode the running max is log2-scaled.
         m_nat = m_scr[:, 0] * (1.0 / LOG2E) if EXP2 else m_scr[:, 0]
-        lse_ref[0, 0, :] = m_nat + jnp.log(jnp.maximum(l_scr[:, 0], 1e-37))
+        lse_ref[0, 0, :] = m_nat + jnp.log(jnp.maximum(l_col, 1e-37))
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
@@ -139,6 +158,11 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
         eff = scale * LOG2E if EXP2 else scale
         q = (q.astype(jnp.float32) * eff).astype(q.dtype)
 
+    dv = d
+    if V_AUG:
+        v = jnp.concatenate([v, jnp.ones_like(v[..., :1])], axis=-1)
+        dv = d + 1
+
     grid = (b, n // block_q, kv_steps)
     out, lse = pl.pallas_call(
         functools.partial(
@@ -152,7 +176,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
@@ -161,7 +185,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

@@ -9,7 +9,8 @@ from mrisr_tpu.eval.parity import run_parity
 def test_parity_report_structure(tmp_path):
     out = tmp_path / "parity.json"
     report = run_parity(
-        out, mnist_steps=5, phantom_steps=10, resdiff_steps=3, res=32
+        out, mnist_steps=5, phantom_steps=10, resdiff_steps=3, res=32,
+        n_train=8, lr_schedule="cosine", batch=4,
     )
     on_disk = json.loads(out.read_text())
     for section in ("mnist_regression", "phantom_cnn", "phantom_resdiff", "anchors"):
