@@ -18,8 +18,11 @@ from flax import linen as nn
 from mrisr_tpu.ops.attention import spatial_attention, cross_attention_2d
 from mrisr_tpu.ops.space_to_depth import (
     concat_s2d,
+    depth_to_space,
     s2d_conv,
     s2d_downsample_conv,
+    s2d_to_s2d_downsample_conv,
+    space_to_depth,
     tile4,
     tile4_vec,
 )
@@ -275,9 +278,12 @@ class Downsample(nn.Module):
 
     features: int
     s2d_exit: bool = False
+    s2d_io: bool = False  # s2d input AND s2d output (deeper s2d stages)
 
     @nn.compact
     def __call__(self, x):
+        if self.s2d_io:
+            return _S2DToS2DConv(self.features, name="Conv_0")(x)
         if self.s2d_exit:
             return _S2DExitConv(self.features, name="Conv_0")(x)
         return nn.Conv(
@@ -304,6 +310,24 @@ class _S2DExitConv(nn.Module):
         return s2d_downsample_conv(x, kernel.astype(x.dtype), bias)
 
 
+class _S2DToS2DConv(nn.Module):
+    """Stride-2 pad-1 3x3 conv on an s2d tensor -> s2d half-resolution output.
+
+    Param-compatible with the plain ``nn.Conv`` inside :class:`Downsample`.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return s2d_to_s2d_downsample_conv(x, kernel.astype(x.dtype), bias)
+
+
 def nearest_up2(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbour x2 upsample via broadcast/reshape.
 
@@ -327,9 +351,18 @@ class Upsample(nn.Module):
 
     features: int
     s2d_entry: bool = False
+    s2d_io: bool = False  # s2d input AND s2d output (deeper s2d stages)
 
     @nn.compact
     def __call__(self, x):
+        if self.s2d_io:
+            # nearest-up2 of an s2d tensor in the FINER grid's s2d form:
+            # every output block's four sub-positions copy the source pixel,
+            # so it is tile4 of the depth_to_space — one d2s pass, then the
+            # conv runs lane-packed.
+            return SpaceConv(self.features, 3, name="Conv_0")(
+                tile4(depth_to_space(x))
+            )
         if self.s2d_entry:
             return SpaceConv(self.features, 3, name="Conv_0")(tile4(x))
         return nn.Conv(self.features, (3, 3), padding="SAME", name="Conv_0")(
@@ -351,14 +384,76 @@ class HFGuidedCrossAttention(nn.Module):
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, query_map: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        query_map: jnp.ndarray,
+        s2d: bool = False,
+        io_s2d: bool = False,
+    ) -> jnp.ndarray:
+        """``s2d=True``: plain-space I/O, projections computed on the s2d
+        form.  ``io_s2d=True``: ``x`` and the return value ARE s2d tensors
+        (``query_map`` stays plain full-res) — used when the surrounding
+        stage already runs in s2d space."""
+        if io_s2d:
+            if s2d:
+                return self._call_s2d(x, query_map, io=True)
+            # The s2d compute path measured net-negative (the s2d->token
+            # relayout feeding the attention kernel); with an s2d stage
+            # around us, hop to plain space for the CA and hop back.
+            return space_to_depth(self._call_plain(depth_to_space(x), query_map))
         b, h, w, c = x.shape
-        n = nn.GroupNorm(num_groups=self.groups)(x)
-        kv = nn.Conv(c * 2, (1, 1), use_bias=False)(n)
+        if s2d and h % 2 == 0 and w % 2 == 0:
+            return self._call_s2d(x, query_map, io=False)
+        return self._call_plain(x, query_map)
+
+    def _call_plain(self, x: jnp.ndarray, query_map: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        n = nn.GroupNorm(num_groups=self.groups, name="GroupNorm_0")(x)
+        kv = nn.Conv(c * 2, (1, 1), use_bias=False, name="Conv_0")(n)
         k, v = jnp.split(kv, 2, axis=-1)
-        q = nn.Conv(c, (1, 1), use_bias=False)(query_map)
+        q = nn.Conv(c, (1, 1), use_bias=False, name="Conv_1")(query_map)
         out = cross_attention_2d(
             q.reshape(b, h * w, c), k.reshape(b, h * w, c), v.reshape(b, h * w, c)
         )
-        out = nn.Conv(c, (1, 1))(out.reshape(b, h, w, c))
+        out = nn.Conv(c, (1, 1), name="Conv_2")(out.reshape(b, h, w, c))
         return out + x
+
+    def _call_s2d(
+        self, x: jnp.ndarray, query_map: jnp.ndarray, io: bool = False
+    ) -> jnp.ndarray:
+        """Space-to-depth execution of the GN + 1x1 projections (exact).
+
+        At the hot 128^2 site C=32, so every projection/normalisation runs
+        4x lane-under-packed in plain NHWC (PERF.md round 3); computing them
+        on the s2d form packs the lanes.  The attention itself is token-
+        permutation-equivariant, so feeding tokens in (pixel-block, subpixel)
+        order — a pure reshape of the s2d tensor — gives bit-identical
+        semantics to raster order.  Same param tree/names as the plain path.
+
+        ``io=True``: ``x`` already IS the s2d tensor and the s2d result is
+        returned without transforms (the surrounding stage runs in s2d).
+        """
+        if io:
+            xs = x
+            b, h2, w2, c4 = xs.shape
+            c = c4 // 4
+        else:
+            b, h, w, c = x.shape
+            h2, w2 = h // 2, w // 2
+            xs = space_to_depth(x)  # [B, h2, w2, 4c]
+        n = SGroupNorm(self.groups, name="GroupNorm_0")(xs)
+        kv = SpaceConv(c * 2, 1, use_bias=False, name="Conv_0")(n)  # [B,h2,w2,8c]
+        k, v = jnp.split(kv.reshape(b, h2, w2, 4, 2 * c), 2, axis=-1)
+        qm = space_to_depth(query_map)  # [B, h2, w2, 4]
+        q = SpaceConv(c, 1, use_bias=False, name="Conv_1")(qm)  # [B,h2,w2,4c]
+
+        def tok(t):
+            return t.reshape(b, h2 * w2 * 4, c)
+
+        out = cross_attention_2d(tok(q.reshape(b, h2, w2, 4, c)), tok(k), tok(v))
+        out = out.reshape(b, h2, w2, 4 * c)  # back to s2d form, same order
+        out = SpaceConv(c, 1, name="Conv_2")(out)
+        if io:
+            return out + xs
+        return depth_to_space(out) + x

@@ -162,6 +162,21 @@ class ResDiffUNet(nn.Module):
     # mathematically exact and uses the SAME parameter tree, so it is on by
     # default and disabled automatically when shapes don't allow it.
     s2d_level0: bool = True
+    # How many UNet levels (from the top) execute on s2d tensors when
+    # s2d_level0 is set.  Level 0 is the big win (C=32, 4x under-packed).
+    # Level 1 (s2d_depth=2) measured NET NEGATIVE on v5e (round 4: 16.6 ->
+    # 18.5 ms/step): at C=64 the plain convs are only 2x under-packed, and
+    # the per-step d2s/s2d hops (CA site, upsample) outweigh the conv win.
+    # Levels with attention or odd dims fall back automatically; contiguity
+    # from level 0 is enforced.
+    s2d_depth: int = 1
+    # Run the HF-guided cross-attention GN + 1x1 projections on s2d tensors
+    # at the lane-under-packed sites (C < 128, even dims) — exact rewrite,
+    # same param tree (layers.HFGuidedCrossAttention._call_s2d).  Measured
+    # NET NEGATIVE on v5e (round 4: 16.4 -> 16.9 ms/step): the s2d->token
+    # relayout feeding the attention kernel costs more than the packed
+    # projections save.  OFF by default; kept for future lane-layout work.
+    ca_s2d: bool = False
 
     def setup(self):
         self.fd_spliter = FDInfoSpliter(self.inner_channel, self.image_size)
@@ -218,6 +233,22 @@ class ResDiffUNet(nn.Module):
                 "io_s2d requires s2d_level0-compatible shapes and precomputed static"
             )
 
+        # Per-level s2d flags (contiguous from level 0; a level needs even
+        # dims at its resolution, no attention, and must not be the last).
+        lvl_s2d_flags = []
+        ok = s2d_on
+        for L in range(n_levels):
+            res_h, res_w = H >> L, W >> L
+            ok = (
+                ok
+                and L < self.s2d_depth
+                and L < n_levels - 1
+                and res_h % 2 == 0
+                and res_w % 2 == 0
+                and res_h not in self.attn_res
+            )
+            lvl_s2d_flags.append(ok)
+
         if static is None:
             cnn_x = x[..., 0:1]
             fd_static, dwt_queries = None, self._dwt_queries(cnn_x)
@@ -244,7 +275,7 @@ class ResDiffUNet(nn.Module):
         for i, mult in enumerate(self.channel_mults):
             ch = self.inner_channel * mult
             use_attn = now_res in self.attn_res
-            lvl_s2d = s2d_on and i == 0
+            lvl_s2d = lvl_s2d_flags[i]
             for _ in range(self.res_blocks):
                 h = ResnetBlockWithAttn(
                     ch, self.norm_groups, self.dropout, use_attn, s2d=lvl_s2d
@@ -253,11 +284,20 @@ class ResDiffUNet(nn.Module):
                 feat_ch.append(ch)
             pre = ch
             if i != n_levels - 1:
-                # The level-0 downsample EXITS s2d space (normal-space output).
-                h = Downsample(pre, s2d_exit=lvl_s2d)(h)
+                # The downsample stays in s2d space when the next level also
+                # runs s2d; otherwise it EXITS to normal space.
+                next_s2d = lvl_s2d_flags[i + 1]
+                h = Downsample(
+                    pre,
+                    s2d_exit=lvl_s2d and not next_s2d,
+                    s2d_io=lvl_s2d and next_s2d,
+                )(h)
                 now_res //= 2
                 # Skip connection is the CA-modulated map; trunk continues as h.
-                ca = HFGuidedCrossAttention(self.norm_groups)(h, dwt_queries[i])
+                ca_s2d = self.ca_s2d and pre < 128 and now_res % 2 == 0
+                ca = HFGuidedCrossAttention(self.norm_groups)(
+                    h, dwt_queries[i], s2d=ca_s2d, io_s2d=next_s2d
+                )
                 feats.append(ca)
                 feat_ch.append(pre)
 
@@ -271,7 +311,8 @@ class ResDiffUNet(nn.Module):
         for i, mult in enumerate(reversed(self.channel_mults)):
             ch = self.inner_channel * mult
             use_attn = now_res in self.attn_res
-            lvl_s2d = s2d_on and i == n_levels - 1
+            L = n_levels - 1 - i  # UNet level of this up stage
+            lvl_s2d = lvl_s2d_flags[L]
             for _ in range(self.res_blocks + 1):
                 skip = feats.pop()
                 if lvl_s2d:
@@ -282,9 +323,15 @@ class ResDiffUNet(nn.Module):
                     ch, self.norm_groups, self.dropout, use_attn, s2d=lvl_s2d
                 )(h, emb, deterministic)
             if i != n_levels - 1:
-                # The upsample INTO level 0 re-enters s2d space for free
-                # (s2d of a nearest-x2 upsample is a channel tile).
-                h = Upsample(ch, s2d_entry=(s2d_on and i == n_levels - 2))(h)
+                # The upsample re-ENTERS s2d space for free from a plain
+                # input (s2d of a nearest-x2 upsample is a channel tile);
+                # from an s2d input it stays s2d via one d2s + tile.
+                dest_s2d = lvl_s2d_flags[L - 1]
+                h = Upsample(
+                    ch,
+                    s2d_entry=dest_s2d and not lvl_s2d,
+                    s2d_io=dest_s2d and lvl_s2d,
+                )(h)
                 now_res *= 2
 
         h = ConvBlock(self.out_channels, self.norm_groups, name="final_conv", s2d=s2d_on)(h)

@@ -146,3 +146,44 @@ def s2d_downsample_conv(
     if bias is not None:
         out = out + bias.astype(y.dtype)
     return out
+
+
+def s2d_to_s2d_downsample_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 pad-1 3x3 downsample kernel for s2d input AND s2d output.
+
+    Output block ``(m, n)`` parity ``(r, s)`` is output pixel ``(2m+r,
+    2n+s)``, which reads input pixels ``4m + 2r + a - 1`` — input blocks
+    ``2m-1 .. 2m+1``: a stride-2 pad-1 3x3 conv over the input BLOCK grid
+    with kernel ``W2[1 + (2r+a-1)//2, 1 + (2s+b-1)//2, (u,v)ci, (r,s)co] =
+    W[a, b, ci, co]`` where ``u = (2r+a-1) % 2`` (each tap lands in a unique
+    slot per output parity — 25% structural density, like s2d_conv_kernel).
+    """
+    ks, ks2_, cin, cout = w.shape
+    assert ks == 3 and ks2_ == 3, f"downsample kernel must be 3x3, got {w.shape}"
+    w2 = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for a in range(3):
+        for b_ in range(3):
+            for r in (0, 1):
+                for s in (0, 1):
+                    A = 1 + (2 * r + a - 1) // 2
+                    u = (2 * r + a - 1) % 2
+                    B = 1 + (2 * s + b_ - 1) // 2
+                    v = (2 * s + b_ - 1) % 2
+                    ci0 = (u * 2 + v) * cin
+                    co0 = (r * 2 + s) * cout
+                    w2 = w2.at[A, B, ci0 : ci0 + cin, co0 : co0 + cout].set(w[a, b_])
+    return w2
+
+
+def s2d_to_s2d_downsample_conv(
+    y: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Stride-2 pad-1 3x3 conv on an s2d tensor; returns the s2d form of the
+    half-resolution output (``s2d(conv_stride2(d2s(y), w))``)."""
+    w2 = s2d_to_s2d_downsample_kernel(w).astype(y.dtype)
+    out = jax.lax.conv_general_dilated(
+        y, w2, (2, 2), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    if bias is not None:
+        out = out + tile4_vec(bias).astype(y.dtype)
+    return out

@@ -15,6 +15,7 @@ from mrisr_tpu.ops.space_to_depth import (
     depth_to_space,
     s2d_conv,
     s2d_downsample_conv,
+    s2d_to_s2d_downsample_conv,
     space_to_depth,
     tile4,
 )
@@ -154,3 +155,109 @@ class TestUNetParity:
         params = m_odd.init(jax.random.PRNGKey(1), x, jnp.array([0.5]))
         out = m_odd.apply(params, x, jnp.array([0.5]))
         assert out.shape == (1, 15, 15, 1)
+
+
+class TestCrossAttentionS2d:
+    """HF-guided CA with s2d projections is exact vs the plain path."""
+
+    def test_layer_matches_plain(self):
+        from mrisr_tpu.models.layers import HFGuidedCrossAttention
+
+        ca = HFGuidedCrossAttention(groups=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 8))
+        qm = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+        params = ca.init(jax.random.PRNGKey(2), x, qm)
+        p2 = ca.init(jax.random.PRNGKey(2), x, qm, s2d=True)
+        # identical param tree both ways (names pinned to the plain scheme)
+        k1 = {jtu.keystr(kp): v.shape for kp, v in jtu.tree_leaves_with_path(params)}
+        k2 = {jtu.keystr(kp): v.shape for kp, v in jtu.tree_leaves_with_path(p2)}
+        assert k1 == k2
+        o_plain = ca.apply(params, x, qm)
+        o_s2d = ca.apply(params, x, qm, s2d=True)
+        np.testing.assert_allclose(o_plain, o_s2d, atol=5e-5)
+
+    def test_unet_ca_s2d_matches(self, tiny_unet_pair):
+        from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+
+        plain, s2d, params, x, gamma = tiny_unet_pair
+        kw = dict(image_size=16, inner_channel=8, channel_mults=(1, 2),
+                  norm_groups=4, attn_res=())
+        on = ResDiffUNet(s2d_level0=True, ca_s2d=True, **kw)
+        o_on = on.apply(params, x, gamma)
+        o_off = s2d.apply(params, x, gamma)  # ca_s2d defaults False
+        np.testing.assert_allclose(o_on, o_off, atol=5e-5)
+
+
+class TestS2dToS2dDownsample:
+    def test_matches_stride2_conv(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 3))
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 7)) * 0.2
+        b = jax.random.normal(jax.random.PRNGKey(2), (7,)) * 0.1
+        want = _conv(x, w, strides=(2, 2), padding=((1, 1), (1, 1))) + b
+        got = s2d_to_s2d_downsample_conv(space_to_depth(x), w, b)
+        assert got.shape == (2, 2, 3, 28)
+        np.testing.assert_allclose(depth_to_space(got), want, atol=1e-5)
+
+
+class TestLevel1S2d:
+    """s2d_depth=2: level 1 also runs in s2d space, exactly."""
+
+    @pytest.fixture(scope="class")
+    def deep_unet(self):
+        from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+
+        kw = dict(image_size=32, inner_channel=8, channel_mults=(1, 2, 4),
+                  norm_groups=4, attn_res=(8,))
+        plain = ResDiffUNet(s2d_level0=False, **kw)
+        d1 = ResDiffUNet(s2d_level0=True, s2d_depth=1, **kw)
+        d2 = ResDiffUNet(s2d_level0=True, s2d_depth=2, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 2))
+        gamma = jnp.array([0.3, 0.8])
+        params = plain.init(jax.random.PRNGKey(1), x, gamma)
+        return plain, d1, d2, params, x, gamma
+
+    def test_param_tree_identical(self, deep_unet):
+        plain, d1, d2, params, x, gamma = deep_unet
+        p2 = d2.init(jax.random.PRNGKey(1), x, gamma)
+        k1 = {jtu.keystr(kp): v for kp, v in jtu.tree_leaves_with_path(params)}
+        k2 = {jtu.keystr(kp): v for kp, v in jtu.tree_leaves_with_path(p2)}
+        assert set(k1) == set(k2)
+        for name in k1:
+            np.testing.assert_array_equal(k1[name], k2[name], err_msg=name)
+
+    def test_forward_matches(self, deep_unet):
+        plain, d1, d2, params, x, gamma = deep_unet
+        o0 = plain.apply(params, x, gamma)
+        o1 = d1.apply(params, x, gamma)
+        o2 = d2.apply(params, x, gamma)
+        np.testing.assert_allclose(o0, o1, atol=5e-5)
+        np.testing.assert_allclose(o0, o2, atol=5e-5)
+
+    def test_gradients_match(self, deep_unet):
+        plain, d1, d2, params, x, gamma = deep_unet
+
+        def loss(model):
+            def f(p):
+                return jnp.mean(model.apply(p, x, gamma) ** 2)
+            return jax.grad(f)(params)
+
+        g0 = loss(plain)
+        g2 = loss(d2)
+        for (kp, a), (_, b) in zip(
+            jtu.tree_leaves_with_path(g0), jtu.tree_leaves_with_path(g2)
+        ):
+            np.testing.assert_allclose(a, b, atol=2e-4, err_msg=jtu.keystr(kp))
+
+    def test_io_s2d_chain(self, deep_unet):
+        """The sampler fast path works with s2d_depth=2."""
+        plain, d1, d2, params, x, gamma = deep_unet
+        cnn_sr, x_t = x[..., 0:1], x[..., 1:2]
+        (x_lf, x_hf), dwt = plain.apply(params, cnn_sr, method="compute_static")
+        ref = plain.apply(params, x, gamma, static=((x_lf, x_hf), dwt))
+        inp = concat_s2d(space_to_depth(cnn_sr), space_to_depth(x_t))
+        got = d2.apply(
+            params, inp, gamma,
+            static=((space_to_depth(x_lf), space_to_depth(x_hf)), dwt),
+            io_s2d=True,
+        )
+        np.testing.assert_allclose(depth_to_space(got), ref, atol=5e-5)
