@@ -269,7 +269,6 @@ class ResDiffUNet(nn.Module):
             h = nn.Conv(self.inner_channel, (3, 3), padding="SAME", name="conv_in")(h)
 
         feats = [h]  # level-0 entries live in s2d space when s2d_on
-        feat_ch = [self.inner_channel]
         now_res = H
         pre = self.inner_channel
         for i, mult in enumerate(self.channel_mults):
@@ -281,7 +280,6 @@ class ResDiffUNet(nn.Module):
                     ch, self.norm_groups, self.dropout, use_attn, s2d=lvl_s2d
                 )(h, emb, deterministic)
                 feats.append(h)
-                feat_ch.append(ch)
             pre = ch
             if i != n_levels - 1:
                 # The downsample stays in s2d space when the next level also
@@ -299,7 +297,6 @@ class ResDiffUNet(nn.Module):
                     h, dwt_queries[i], s2d=ca_s2d, io_s2d=next_s2d
                 )
                 feats.append(ca)
-                feat_ch.append(pre)
 
         h = ResnetBlockWithAttn(pre, self.norm_groups, self.dropout, True)(
             h, emb, deterministic
