@@ -68,6 +68,26 @@ PRESCALE_Q = os.environ.get("MRISR_FLASH_PRESCALE_Q", "1") == "1"
 # (9.35 -> 9.63 slices/s), so ON by default; set MRISR_FLASH_V_AUG=0 for the
 # fp32-denominator path.
 V_AUG = os.environ.get("MRISR_FLASH_V_AUG", "1") == "1"
+# Degree-2 polynomial exp2: exp2(x) = 2^round(x) * poly2(x - round(x)), the
+# power of two applied by integer-adding round(x) into the float32 exponent
+# field (Schraudolph-style, plus a minimax quadratic for the fraction).
+# Max relative error 0.21% — BELOW the bf16 ulp (0.39%) that the probability
+# tile is rounded to for the MXU anyway, so outputs stay within bf16
+# rounding noise of the exact path.  Cuts the transcendental cost of the
+# VPU-bound online softmax (~5 VPU ops vs the library exp).  The whole
+# softmax runs in base 2 (scores pre-scaled by log2 e, like EXP2).
+POLY_EXP = os.environ.get("MRISR_FLASH_POLY_EXP", "0") == "1"
+
+
+def _poly_exp2(x):
+    """Approximate exp2 for x <= 0 (see POLY_EXP).  fp32 in/out."""
+    x = jnp.maximum(x, -126.0)  # keep the exponent-field add in range
+    n = jnp.round(x)
+    f = x - n  # in [-0.5, 0.5]
+    p = 1.0005032 + f * (0.70494148 + f * 0.23919028)
+    pi = jax.lax.bitcast_convert_type(p, jnp.int32)
+    r = pi + n.astype(jnp.int32) * jnp.int32(1 << 23)
+    return jax.lax.bitcast_convert_type(r, jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -94,18 +114,21 @@ def _flash_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    # In EXP2 mode the whole online softmax runs in base 2 (statistics are
-    # log2-scaled); exp2(x*log2e) == exp(x) so results are identical.
-    eff_scale = scale * LOG2E if EXP2 else scale
+    # In EXP2/POLY_EXP mode the whole online softmax runs in base 2 (the
+    # statistics are log2-scaled); exp2(x*log2e) == exp(x), identical result.
+    base2 = EXP2 or POLY_EXP
+    eff_scale = scale * LOG2E if base2 else scale
     if not prescaled and eff_scale != 1.0:  # PRESCALE_Q folds it into Q outside
         s = s * eff_scale
-    expf = jnp.exp2 if EXP2 else jnp.exp
+    expf = _poly_exp2 if POLY_EXP else (jnp.exp2 if EXP2 else jnp.exp)
 
     m_prev = m_scr[:, :1]  # [bq, 1]
     m_curr = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
     alpha = expf(m_prev - m_next)
-    if P_BF16:
+    if POLY_EXP:  # fp32 in/out (integer bitcast trick)
+        p = expf(s - m_next)
+    elif P_BF16:
         p = expf((s - m_next).astype(jnp.bfloat16))  # stays bf16 for the MXU
     elif FAST_EXP:
         p = expf((s - m_next).astype(jnp.bfloat16)).astype(jnp.float32)
@@ -142,8 +165,8 @@ def _flash_kernel(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (out * l_inv).astype(o_ref.dtype)
         # lse is always stored in natural-log units (the backward kernels
-        # assume it); in EXP2 mode the running max is log2-scaled.
-        m_nat = m_scr[:, 0] * (1.0 / LOG2E) if EXP2 else m_scr[:, 0]
+        # assume it); in base-2 modes the running max is log2-scaled.
+        m_nat = m_scr[:, 0] * (1.0 / LOG2E) if (EXP2 or POLY_EXP) else m_scr[:, 0]
         lse_ref[0, 0, :] = m_nat + jnp.log(jnp.maximum(l_col, 1e-37))
 
 
@@ -157,7 +180,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
 
     prescaled = PRESCALE_Q
     if prescaled:
-        eff = scale * LOG2E if EXP2 else scale
+        eff = scale * LOG2E if (EXP2 or POLY_EXP) else scale
         q = (q.astype(jnp.float32) * eff).astype(q.dtype)
 
     dv = d
