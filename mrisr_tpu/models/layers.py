@@ -96,7 +96,7 @@ class SEBlock(nn.Module):
         if s2d:
             b, h, w, c4 = x.shape
             c = c4 // 4
-            y = jnp.mean(x.reshape(b, h, w, 4, c), axis=(1, 2, 3))  # [B, C]
+            y = jnp.mean(x.reshape(b, h, w, c, 4), axis=(1, 2, 4))  # [B, C]
         else:
             c = x.shape[-1]
             y = jnp.mean(x, axis=(1, 2))  # [B, C]
@@ -144,9 +144,9 @@ class SGroupNorm(nn.Module):
 
     Matches ``flax.linen.GroupNorm`` numerics (fp32 stats, fast variance
     clipped at zero, eps 1e-6) with ``(C,)``-shaped scale/bias params, where
-    C is the plain channel count (input is ``[B, h, w, 4C]``).  Group g's
-    statistics pool channel set {k*C + c : k in 0..3, c in group g} — exactly
-    the pixels/channels the plain GroupNorm pools.
+    C is the plain channel count (input is ``[B, h, w, 4C]``, c-major).
+    Group g's statistics pool channel set {c*4 + k : k in 0..3, c in group
+    g} — exactly the pixels/channels the plain GroupNorm pools.
     """
 
     num_groups: int
@@ -160,9 +160,9 @@ class SGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones_init(), (c,))
         bias = self.param("bias", nn.initializers.zeros_init(), (c,))
 
-        xf = y.reshape(b, h, w, 4, g, c // g).astype(jnp.float32)
-        mu = jnp.mean(xf, axis=(1, 2, 3, 5), keepdims=True)
-        mu2 = jnp.mean(xf * xf, axis=(1, 2, 3, 5), keepdims=True)
+        xf = y.reshape(b, h, w, g, c // g, 4).astype(jnp.float32)
+        mu = jnp.mean(xf, axis=(1, 2, 4, 5), keepdims=True)
+        mu2 = jnp.mean(xf * xf, axis=(1, 2, 4, 5), keepdims=True)
         var = jnp.maximum(0.0, mu2 - mu * mu)
         norm = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
         norm = norm.reshape(b, h, w, c4)
@@ -444,15 +444,17 @@ class HFGuidedCrossAttention(nn.Module):
             xs = space_to_depth(x)  # [B, h2, w2, 4c]
         n = SGroupNorm(self.groups, name="GroupNorm_0")(xs)
         kv = SpaceConv(c * 2, 1, use_bias=False, name="Conv_0")(n)  # [B,h2,w2,8c]
-        k, v = jnp.split(kv.reshape(b, h2, w2, 4, 2 * c), 2, axis=-1)
+        k, v = jnp.split(kv.reshape(b, h2, w2, 2 * c, 4), 2, axis=-2)
         qm = space_to_depth(query_map)  # [B, h2, w2, 4]
         q = SpaceConv(c, 1, use_bias=False, name="Conv_1")(qm)  # [B,h2,w2,4c]
 
-        def tok(t):
-            return t.reshape(b, h2 * w2 * 4, c)
+        def tok(t):  # (pixel-block, c, sp) -> tokens [B, n, c]
+            return t.transpose(0, 1, 2, 4, 3).reshape(b, h2 * w2 * 4, c)
 
-        out = cross_attention_2d(tok(q.reshape(b, h2, w2, 4, c)), tok(k), tok(v))
-        out = out.reshape(b, h2, w2, 4 * c)  # back to s2d form, same order
+        out = cross_attention_2d(tok(q.reshape(b, h2, w2, c, 4)), tok(k), tok(v))
+        # tokens back to the c-major s2d form
+        out = out.reshape(b, h2, w2, 4, c).transpose(0, 1, 2, 4, 3)
+        out = out.reshape(b, h2, w2, 4 * c)
         out = SpaceConv(c, 1, name="Conv_2")(out)
         if io:
             return out + xs

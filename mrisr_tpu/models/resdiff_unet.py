@@ -117,14 +117,15 @@ class FDInfoSpliter(nn.Module):
         """Space-to-depth variant of the per-step branch (sampler fast path).
 
         ``x`` is ``s2d(concat([cnn_sr, x_t]))`` — ``[B, H/2, W/2, 8]`` with
-        channel order ``(u*2+v)*2 + {0: cnn, 1: x_t}``; ``static`` must hold
+        c-major channel order ``{0: cnn, 1: x_t}*4 + (u*2+v)``; ``static``
+        must hold
         the chain-invariant ``(x_lf, x_hf)`` already in s2d form.  Every op
         below acts on the same pixel values as the plain branch, so results
         are exact up to float rounding.
         """
         assert static is not None, "io_s2d requires precomputed static features"
-        cnn_x = x[..., 0::2]  # s2d C=4 of the 1-channel map
-        xt = x[..., 1::2]
+        cnn_x = x[..., 0:4]  # s2d C=4 of the 1-channel map (c-major order)
+        xt = x[..., 4:8]
         b, h2, w2, _ = x.shape
 
         # noise_img[b, 2i+u, 2j+v, 0] = row[b, 2j+v] -> s2d channel (u*2+v).
