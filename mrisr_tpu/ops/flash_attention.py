@@ -386,12 +386,30 @@ def _pad_d(x):
     return x, d
 
 
+def _effective_blocks(n: int, m: int, itemsize: int, block_q: int, block_k: int):
+    """Clamp kernel blocks to the sequence AND to the scoped-VMEM budget.
+
+    With fp32 inputs the probability tile is kept fp32 for the PV matmul, so
+    the score + probability tiles cost ``2 * bq * bk * 4`` bytes — at the
+    default 2048x1024 blocks that is 16 MB and overflows the 16 MB scoped
+    VMEM (observed as a hard compile error on v5e).  Halving block_q keeps
+    fp32 inside the budget; n % 2048 == 0 implies n % 1024 == 0, so the
+    divisibility contract of ``flash_available`` is preserved.
+    """
+    block_q = min(block_q, n)
+    block_k = min(block_k, m)
+    if itemsize >= 4 and block_q > 1024 and n % 1024 == 0:
+        block_q = 1024
+    return block_q, block_k
+
+
 def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret=False):
     qp, d = _pad_d(q)
     kp, _ = _pad_d(k)
     vp, _ = _pad_d(v)
-    block_q = min(block_q, qp.shape[1])
-    block_k = min(block_k, kp.shape[1])
+    block_q, block_k = _effective_blocks(
+        qp.shape[1], kp.shape[1], jnp.dtype(q.dtype).itemsize, block_q, block_k
+    )
     out, lse = _flash_forward(qp, kp, vp, scale, block_q, block_k, interpret)
     return out[..., :d], lse
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mrisr_tpu.data.nifti import NiftiImage, read_nifti, to_ras, write_nifti
@@ -71,10 +72,20 @@ def super_resolve_volume(
     clip: tuple[float, float] = (0, 1000),
     mesh=None,
     seed: int = 0,
+    dtype=None,
 ) -> NiftiImage:
-    """End-to-end driver.  ``pipeline.super_resolve`` runs per sharded batch."""
+    """End-to-end driver.  ``pipeline.super_resolve`` runs per sharded batch.
+
+    ``dtype=None`` infers the activation dtype from the pipeline's params so
+    a bf16 pipeline is fed bf16 slices — feeding the fp32 host slices
+    directly would silently promote the whole sampling chain to fp32
+    (slower, and the fp32 flash tiles need smaller blocks).
+    """
     img = to_ras(read_nifti(nifti_path))
     slices, shapes = volume_to_model_slices(img.data, axis, resolution, clip)
+    if dtype is None:
+        leaves = jax.tree_util.tree_leaves(getattr(pipeline, "unet_params", None))
+        dtype = leaves[0].dtype if leaves else slices.dtype
 
     n = slices.shape[0]
     pad_to = -(-n // batch_size) * batch_size
@@ -89,7 +100,7 @@ def super_resolve_volume(
     window = 4
     in_flight: list = []
     for s in range(0, pad_to, batch_size):
-        batch = slices[s : s + batch_size]
+        batch = jnp.asarray(slices[s : s + batch_size], dtype)
         if mesh is not None:
             from mrisr_tpu.parallel.mesh import batch_sharding
 

@@ -92,3 +92,18 @@ def test_flash_available_gate_matches_kernel_clamping(monkeypatch):
     # n=1536 clamps block_q to 1536 (divides), but m=1536 % 1024 != 0:
     # the clamped KV block cannot tile the keys -> must be rejected
     assert not fa.flash_available(1536, 1536)
+
+
+def test_effective_blocks_fp32_vmem_clamp():
+    """fp32 inputs must halve block_q to stay inside the 16MB scoped VMEM
+    (score + fp32 probability tiles; observed compile OOM on v5e otherwise)."""
+    from mrisr_tpu.ops.flash_attention import _effective_blocks
+
+    # bf16: defaults pass through
+    assert _effective_blocks(16384, 16384, 2, 2048, 1024) == (2048, 1024)
+    # fp32: block_q halved
+    assert _effective_blocks(16384, 16384, 4, 2048, 1024) == (1024, 1024)
+    # clamping to short sequences still applies
+    assert _effective_blocks(512, 512, 4, 2048, 1024) == (512, 512)
+    # divisibility preserved (n % 2048 == 0 -> n % 1024 == 0)
+    assert 16384 % _effective_blocks(16384, 16384, 4, 2048, 1024)[0] == 0

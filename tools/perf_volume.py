@@ -1,0 +1,65 @@
+"""End-to-end volume-inference throughput (the production serving path).
+
+Builds a synthetic 128-slice NIfTI volume, runs
+pipelines/volume.py::super_resolve_volume on the real pipeline (50-step
+DDIM, 256^2, bf16) and reports whole-volume wall clock including host
+slicing, async batch dispatch (window=4), restack and NIfTI write —
+i.e. how much of bench.py's steady-state slices/sec survives the full
+NIfTI -> slices -> SR -> restack -> NIfTI path.
+
+Run: PYTHONPATH=/root/repo python tools/perf_volume.py
+"""
+from __future__ import annotations
+
+import tempfile
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RNG = np.random.default_rng(time.time_ns() % 2**31)
+
+
+def main():
+    from mrisr_tpu.data.nifti import write_nifti
+    from mrisr_tpu.diffusion.schedules import resdiff_schedule
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
+    from mrisr_tpu.pipelines.volume import super_resolve_volume
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    dtype = jnp.bfloat16
+    cnn, unet = SimpleCNN(), ResDiffUNet(image_size=256)
+    lr0 = jnp.zeros((8, 256, 256, 1), dtype)
+    cnn_params = cnn.init(jax.random.PRNGKey(0), lr0)
+    unet_params = unet.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 256, 256, 2), dtype), jnp.array([0.5])
+    )
+    cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dtype), t)
+    pipe = ResDiffPipeline(
+        cnn, unet, resdiff_schedule(1000), cast(cnn_params), cast(unet_params)
+    )
+
+    n_slices = 128
+    with tempfile.TemporaryDirectory() as td:
+        # warm the compiled program on one volume, then time a DIFFERENT
+        # random volume (the relay memoizes repeated identical values).
+        for name in ("warm", "timed"):
+            vol = (RNG.random((220, 220, n_slices)) * 800).astype(np.float32)
+            src = Path(td) / f"{name}.nii"
+            write_nifti(src, vol, np.eye(4))
+            t0 = time.perf_counter()
+            super_resolve_volume(pipe, src, Path(td) / f"{name}_sr.nii", num_steps=50)
+            dt = time.perf_counter() - t0
+    print(
+        f"volume: {n_slices} slices 256^2, 50-step DDIM -> {dt:6.2f} s "
+        f"({n_slices/dt:6.3f} slices/s end-to-end incl. NIfTI IO)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
