@@ -152,5 +152,35 @@ def main():
     ru.FDInfoSpliter._call_s2d = orig_fd
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not __import__("os").environ.get("MRISR_DECOMP_KERNEL_PROBE"):
     main()
+
+
+def probe_kernel_build():
+    """Timing-only: replace s2d_conv_kernel's 36 scatter-updates with a cheap
+    same-shape tile+pad (wrong math).  Measures whether XLA hoists the
+    per-step weight scattering out of the scan body or re-executes it."""
+    from mrisr_tpu.ops import space_to_depth as s2d_ops
+    import mrisr_tpu.ops.space_to_depth as mod
+
+    orig = s2d_ops.s2d_conv_kernel
+
+    def cheap(w):
+        ks, _, cin, cout = w.shape
+        ref = orig(jnp.zeros((ks, ks, 1, 1), w.dtype))  # shape/ks2 probe (tiny)
+        ks2 = ref.shape[0]
+        t = jnp.tile(w, (1, 1, 4, 4))
+        pad = ks2 - ks
+        if pad > 0:
+            t = jnp.pad(t, ((0, pad), (0, pad), (0, 0), (0, 0)))
+        else:
+            t = t[:ks2, :ks2]
+        return t
+
+    mod.s2d_conv_kernel = cheap
+    time_variant("cheap s2d kernel build (timing-only)")
+    mod.s2d_conv_kernel = orig
+
+
+if __name__ == "__main__" and __import__("os").environ.get("MRISR_DECOMP_KERNEL_PROBE"):
+    probe_kernel_build()
