@@ -75,13 +75,20 @@ def ssim(
     k = _gaussian_kernel1d(kernel_size, sigma)
     mu_p = _filter2d_valid(p, k)
     mu_t = _filter2d_valid(t, k)
-    mu_pp = _filter2d_valid(p * p, k)
-    mu_tt = _filter2d_valid(t * t, k)
-    mu_pt = _filter2d_valid(p * t, k)
-
-    sigma_p = mu_pp - mu_p**2
-    sigma_t = mu_tt - mu_t**2
-    sigma_pt = mu_pt - mu_p * mu_t
+    # Variances/covariance via globally mean-shifted tensors: the one-pass
+    # E[x^2] - E[x]^2 form cancels catastrophically in fp32 on near-flat
+    # images (observed SSIM > 1 on converged phantom outputs); shifting by a
+    # scalar leaves these terms mathematically unchanged but keeps the
+    # subtraction operands small.  The luminance means above stay unshifted.
+    sp = jnp.mean(p)
+    st = jnp.mean(t)
+    p0 = p - sp
+    t0 = t - st
+    mu_p0 = mu_p - sp
+    mu_t0 = mu_t - st
+    sigma_p = _filter2d_valid(p0 * p0, k) - mu_p0**2
+    sigma_t = _filter2d_valid(t0 * t0, k) - mu_t0**2
+    sigma_pt = _filter2d_valid(p0 * t0, k) - mu_p0 * mu_t0
 
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2

@@ -96,3 +96,25 @@ def test_folder_evaluator_counts_correctly(tmp_path, rng):
     assert res["PSNR"] > 40  # identical images
     assert res["SSIM"] == pytest.approx(1.0, abs=1e-4)
     assert res["NMSE"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_ssim_bounded_on_near_flat_images():
+    """fp32 cancellation in the one-pass variance form produced SSIM > 1 on
+    near-flat images (round-4 parity run); the mean-shifted computation must
+    stay <= 1 + tiny eps."""
+    import jax.numpy as jnp
+
+    from mrisr_tpu.eval.metrics import ssim
+
+    rng = np.random.default_rng(1)
+    worst = 0.0
+    for trial in range(20):
+        img = np.full((128, 128), rng.uniform(0, 1), np.float32)
+        if trial % 3 == 0:
+            img[:, :64] += rng.uniform(-0.2, 0.2)
+        img = np.clip(img, 0, 1)
+        scale = 10 ** rng.uniform(-4, -2)
+        pred = np.clip(img * (1 + rng.normal(0, scale, img.shape)), 0, 1).astype(np.float32)
+        v = float(ssim(jnp.asarray(pred)[None, None], jnp.asarray(img)[None, None]))
+        worst = max(worst, v)
+    assert worst <= 1.0 + 1e-5, worst
