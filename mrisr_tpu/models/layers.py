@@ -27,6 +27,11 @@ from mrisr_tpu.ops.space_to_depth import (
     tile4_vec,
 )
 
+# torch ``nn.GroupNorm`` default (the reference's ResDiff/SR3 modules never
+# override it); flax defaults to 1e-6 — the mismatch was surfaced by the
+# torch differential test (tests/test_resdiff_torch_parity.py).
+GN_EPS = 1e-5
+
 
 class SinusoidalTimeEmbedding(nn.Module):
     """Integer-timestep embedding (MNIST notebook cell 6 convention).
@@ -143,14 +148,14 @@ class SGroupNorm(nn.Module):
     """GroupNorm over the PLAIN channels of an s2d tensor.
 
     Matches ``flax.linen.GroupNorm`` numerics (fp32 stats, fast variance
-    clipped at zero, eps 1e-6) with ``(C,)``-shaped scale/bias params, where
+    clipped at zero; eps matches torch's 1e-5 default — GN_EPS) with ``(C,)``-shaped scale/bias params, where
     C is the plain channel count (input is ``[B, h, w, 4C]``, c-major).
     Group g's statistics pool channel set {c*4 + k : k in 0..3, c in group
     g} — exactly the pixels/channels the plain GroupNorm pools.
     """
 
     num_groups: int
-    epsilon: float = 1e-6
+    epsilon: float = GN_EPS
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
@@ -194,7 +199,7 @@ class ConvBlock(nn.Module):
         if self.s2d:
             h = SGroupNorm(self.groups, name="GroupNorm_0")(x)
         else:
-            h = nn.GroupNorm(num_groups=self.groups, name="GroupNorm_0")(x)
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS, name="GroupNorm_0")(x)
         h = nn.swish(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -242,7 +247,7 @@ class SelfAttention2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        n = nn.GroupNorm(num_groups=self.groups)(x)
+        n = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS)(x)
         qkv = nn.Conv(c * 3, (1, 1), use_bias=False)(n)
         q, k, v = jnp.split(qkv.reshape(b, h * w, 3 * c), 3, axis=-1)
         out = spatial_attention(q, k, v, self.num_heads)
@@ -390,31 +395,51 @@ class HFGuidedCrossAttention(nn.Module):
         query_map: jnp.ndarray,
         s2d: bool = False,
         io_s2d: bool = False,
+        kv_pool: int = 0,
     ) -> jnp.ndarray:
         """``s2d=True``: plain-space I/O, projections computed on the s2d
         form.  ``io_s2d=True``: ``x`` and the return value ARE s2d tensors
         (``query_map`` stays plain full-res) — used when the surrounding
-        stage already runs in s2d space."""
+        stage already runs in s2d space.  ``kv_pool >= 2`` (fast serving
+        profile): K/V come from the ``kv_pool x kv_pool`` average-pooled
+        normalized map — ``kv_pool^2`` fewer score columns/exps at the
+        quadratic-cost sites; exact semantics when 0/1."""
+        if kv_pool and kv_pool > 1:
+            s2d = False  # pooled K/V always uses the plain compute path
         if io_s2d:
             if s2d:
                 return self._call_s2d(x, query_map, io=True)
             # The s2d compute path measured net-negative (the s2d->token
             # relayout feeding the attention kernel); with an s2d stage
             # around us, hop to plain space for the CA and hop back.
-            return space_to_depth(self._call_plain(depth_to_space(x), query_map))
+            return space_to_depth(
+                self._call_plain(depth_to_space(x), query_map, kv_pool)
+            )
         b, h, w, c = x.shape
         if s2d and h % 2 == 0 and w % 2 == 0:
             return self._call_s2d(x, query_map, io=False)
-        return self._call_plain(x, query_map)
+        return self._call_plain(x, query_map, kv_pool)
 
-    def _call_plain(self, x: jnp.ndarray, query_map: jnp.ndarray) -> jnp.ndarray:
+    def _call_plain(
+        self, x: jnp.ndarray, query_map: jnp.ndarray, kv_pool: int = 0
+    ) -> jnp.ndarray:
         b, h, w, c = x.shape
-        n = nn.GroupNorm(num_groups=self.groups, name="GroupNorm_0")(x)
-        kv = nn.Conv(c * 2, (1, 1), use_bias=False, name="Conv_0")(n)
+        n = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS, name="GroupNorm_0")(x)
+        p = int(kv_pool) if kv_pool else 0
+        if p > 1 and h % p == 0 and w % p == 0:
+            # Fast profile: keys/values from the p x p average-pooled
+            # normalized map.  Pooling commutes exactly with the 1x1 kv
+            # projection, so this IS "attend to pooled keys/values" while
+            # also running the projection p^2 cheaper.  Same param tree.
+            n_kv = nn.avg_pool(n, (p, p), strides=(p, p))
+            hk, wk = h // p, w // p
+        else:
+            n_kv, hk, wk = n, h, w
+        kv = nn.Conv(c * 2, (1, 1), use_bias=False, name="Conv_0")(n_kv)
         k, v = jnp.split(kv, 2, axis=-1)
         q = nn.Conv(c, (1, 1), use_bias=False, name="Conv_1")(query_map)
         out = cross_attention_2d(
-            q.reshape(b, h * w, c), k.reshape(b, h * w, c), v.reshape(b, h * w, c)
+            q.reshape(b, h * w, c), k.reshape(b, hk * wk, c), v.reshape(b, hk * wk, c)
         )
         out = nn.Conv(c, (1, 1), name="Conv_2")(out.reshape(b, h, w, c))
         return out + x

@@ -67,6 +67,6 @@ class MNISTUNet(nn.Module):
             if i != len(self.channels) - 1:
                 h = Upsample(ch)(h)
 
-        h = nn.GroupNorm(num_groups=self.groups)(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(h)  # torch GN default
         h = nn.swish(h)
         return nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)

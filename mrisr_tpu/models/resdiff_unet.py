@@ -178,9 +178,37 @@ class ResDiffUNet(nn.Module):
     # relayout feeding the attention kernel costs more than the packed
     # projections save.  OFF by default; kept for future lane-layout work.
     ca_s2d: bool = False
+    # FAST SERVING PROFILE (opt-in; 0/1 = exact reference semantics).  K/V
+    # spatial average-pooling factor at the HF-CA sites with >= 4096 tokens
+    # — the (HW)^2 attention whose exps/MXU passes dominate the step
+    # (PERF.md).  kv_pool^2 fewer score columns; queries and output length
+    # unchanged; SAME param tree as the exact model, so one checkpoint
+    # serves both profiles.  Fidelity validated head-to-head through the
+    # parity harness — see PARITY fast-profile evidence + PERF.md round 5.
+    ca_kv_pool: int = 0
 
     def setup(self):
         self.fd_spliter = FDInfoSpliter(self.inner_channel, self.image_size)
+
+    def s2d_eligible(self, H: int, W: int) -> bool:
+        """Whether the level-0 stage runs on s2d tensors at resolution H x W.
+
+        Single source of truth for the gate — ``__call__`` and the sampler
+        pipeline's ``io_s2d`` fast path (pipelines/resdiff.py) both use it,
+        so they can never drift apart.  Requires ``s2d_depth >= 1``:
+        ``s2d_level0`` only says the rewrite is allowed, ``s2d_depth`` says
+        how many levels actually use it (ADVICE round-1: without this,
+        s2d_level0=True + s2d_depth=0 made conv_in emit an s2d tensor that
+        the plain level-0 blocks then mis-normalised).
+        """
+        return (
+            self.s2d_level0
+            and self.s2d_depth >= 1
+            and len(self.channel_mults) >= 2
+            and H % 2 == 0
+            and W % 2 == 0
+            and H not in self.attn_res
+        )
 
     def _dwt_queries(self, cnn_x: jnp.ndarray):
         n_down = len(self.channel_mults) - 1
@@ -222,13 +250,7 @@ class ResDiffUNet(nn.Module):
             H, W = x.shape[1], x.shape[2]
         # Level-0 runs on space-to-depth tensors when shapes allow (exact
         # rewrite, same params — see the class docstring / PERF.md round 3).
-        s2d_on = (
-            self.s2d_level0
-            and n_levels >= 2
-            and H % 2 == 0
-            and W % 2 == 0
-            and H not in self.attn_res
-        )
+        s2d_on = self.s2d_eligible(H, W)
         if io_s2d:
             assert s2d_on and static is not None, (
                 "io_s2d requires s2d_level0-compatible shapes and precomputed static"
@@ -294,8 +316,9 @@ class ResDiffUNet(nn.Module):
                 now_res //= 2
                 # Skip connection is the CA-modulated map; trunk continues as h.
                 ca_s2d = self.ca_s2d and pre < 128 and now_res % 2 == 0
+                kvp = self.ca_kv_pool if now_res * now_res >= 4096 else 0
                 ca = HFGuidedCrossAttention(self.norm_groups)(
-                    h, dwt_queries[i], s2d=ca_s2d, io_s2d=next_s2d
+                    h, dwt_queries[i], s2d=ca_s2d, io_s2d=next_s2d, kv_pool=kvp
                 )
                 feats.append(ca)
 

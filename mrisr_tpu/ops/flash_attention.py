@@ -301,6 +301,19 @@ def _flash_bwd_dkv_kernel(
 
 
 def _flash_backward(q, k, v, o, lse, do, scale, block, interpret=False):
+    """dq/dk/dv kernels (FlashAttention-2 style, p recomputed from lse).
+
+    Numerics note (ADVICE round-1): with ``PRESCALE_Q`` on (the default)
+    the forward folds ``scale`` (times log2e in exp2 modes) into a bf16
+    re-rounded Q, while these kernels recompute probabilities from the raw
+    saved Q with exact fp32 scaling against the forward's lse — whose
+    denominator under ``V_AUG`` is itself a sum of bf16-rounded p.  The
+    gradients therefore carry a small systematic mismatch vs the forward
+    softmax beyond plain kernel rounding; acceptable for the bf16 serving
+    focus (tolerance-tested), but the fwd/bwd pair is only bf16-consistent
+    under the default flags — training at tighter precision should set
+    ``MRISR_FLASH_PRESCALE_Q=0``/``MRISR_FLASH_V_AUG=0`` or use fp32.
+    """
     b, n, d = q.shape
     m = k.shape[1]
     bq = min(block, n)

@@ -69,19 +69,19 @@ class ResDiffPipeline:
         )
 
         H, W = cnn_sr.shape[1], cnn_sr.shape[2]
-        io_s2d = (
-            getattr(self.unet, "s2d_level0", False)
-            and len(self.unet.channel_mults) >= 2
-            and H % 2 == 0
-            and W % 2 == 0
-            and H not in self.unet.attn_res
-        )
+        io_s2d = self.unet.s2d_eligible(H, W)
 
         if io_s2d:
             # Run the WHOLE chain in space-to-depth form: the carry, the
             # denoiser I/O, and every elementwise sampler op stay at C=4
             # half-resolution; the only transforms are one s2d of cnn_sr and
             # one d2s of the final residual (see ResDiffUNet docstring).
+            # NOTE (ADVICE round-1): x_T and the per-step sampler noise are
+            # drawn in the s2d shape, so a given PRNG key yields a different
+            # (distributionally identical) noise realization than the plain
+            # path — outputs across s2d on/off are statistically, not
+            # bit-wise, comparable.  A/B fidelity comparisons between the
+            # paths must average over keys or compare against references.
             cnn_s2d = space_to_depth(cnn_sr)
             static = ((space_to_depth(x_lf), space_to_depth(x_hf)), dwt_queries)
 

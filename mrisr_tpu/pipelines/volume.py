@@ -9,6 +9,7 @@ with the source affine.  The slice batches are the unit of data parallelism
 """
 from __future__ import annotations
 
+from collections import Counter
 from pathlib import Path
 
 import jax
@@ -84,8 +85,16 @@ def super_resolve_volume(
     img = to_ras(read_nifti(nifti_path))
     slices, shapes = volume_to_model_slices(img.data, axis, resolution, clip)
     if dtype is None:
+        # Majority leaf dtype = the trunk's activation dtype even for mixed
+        # trees (e.g. fp32 norm scales inside a bf16 tree, where leaves[0]
+        # would depend on iteration order — ADVICE round-1); the explicit
+        # ``dtype=`` argument stays the escape hatch.
         leaves = jax.tree_util.tree_leaves(getattr(pipeline, "unet_params", None))
-        dtype = leaves[0].dtype if leaves else slices.dtype
+        if leaves:
+            counts = Counter(l.dtype for l in leaves)
+            dtype = counts.most_common(1)[0][0]
+        else:
+            dtype = slices.dtype
 
     n = slices.shape[0]
     pad_to = -(-n // batch_size) * batch_size

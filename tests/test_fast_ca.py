@@ -1,0 +1,97 @@
+"""Fast serving profile: K/V-pooled HF-guided cross-attention.
+
+The exact reference CA (cell 8 ``HF_guided_CA_New``) attends every query to
+every spatial position.  The fast profile (``ResDiffUNet(ca_kv_pool=p)``)
+attends to the ``p x p`` average-pooled keys/values instead — ``p^2`` fewer
+score columns at the (HW)^2-dominant sites, same parameter tree.  These
+tests pin (1) the pooled computation against a hand-written dense
+reference, (2) param-tree identity with the exact model (one checkpoint
+serves both profiles), and (3) the >= 4096-token site gate.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrisr_tpu.models.layers import GN_EPS, HFGuidedCrossAttention
+from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+
+
+def _manual_pooled_ca(params, x, qmap, p):
+    """Dense NHWC reference: GN -> pool -> kv proj -> softmax -> out proj."""
+    b, h, w, c = x.shape
+    pr = params["params"]
+    g = 16
+    xf = x.reshape(b, h, w, g, c // g).astype(np.float32)
+    mu = xf.mean(axis=(1, 2, 4), keepdims=True)
+    var = xf.var(axis=(1, 2, 4), keepdims=True)
+    n = ((xf - mu) / np.sqrt(var + GN_EPS)).reshape(b, h, w, c)
+    n = n * np.asarray(pr["GroupNorm_0"]["scale"]) + np.asarray(pr["GroupNorm_0"]["bias"])
+    pooled = n.reshape(b, h // p, p, w // p, p, c).mean(axis=(2, 4))
+    kv = pooled @ np.asarray(pr["Conv_0"]["kernel"])[0, 0]
+    k, v = kv[..., :c], kv[..., c:]
+    q = qmap @ np.asarray(pr["Conv_1"]["kernel"])[0, 0]
+    qt = q.reshape(b, h * w, c)
+    kt = k.reshape(b, -1, c)
+    vt = v.reshape(b, -1, c)
+    logits = np.einsum("bnc,bmc->bnm", qt, kt) / np.sqrt(c)
+    wgt = np.exp(logits - logits.max(-1, keepdims=True))
+    wgt /= wgt.sum(-1, keepdims=True)
+    out = np.einsum("bnm,bmc->bnc", wgt, vt).reshape(b, h, w, c)
+    out = out @ np.asarray(pr["Conv_2"]["kernel"])[0, 0] + np.asarray(
+        pr["Conv_2"]["bias"]
+    )
+    return out + np.asarray(x)
+
+
+def test_pooled_ca_matches_dense_reference(rng):
+    b, hw, c, p = 1, 16, 32, 2
+    x = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.float32)
+    qmap = jnp.asarray(rng.standard_normal((b, hw, hw, 1)), jnp.float32)
+    ca = HFGuidedCrossAttention(groups=16)
+    params = ca.init(jax.random.PRNGKey(0), x, qmap)
+    out = ca.apply(params, x, qmap, kv_pool=p)
+    want = _manual_pooled_ca(params, np.asarray(x), np.asarray(qmap), p)
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5, rtol=1e-4)
+
+
+def test_pool_1_is_exact_path(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)), jnp.float32)
+    qmap = jnp.asarray(rng.standard_normal((1, 8, 8, 1)), jnp.float32)
+    ca = HFGuidedCrossAttention(groups=16)
+    params = ca.init(jax.random.PRNGKey(0), x, qmap)
+    np.testing.assert_array_equal(
+        np.asarray(ca.apply(params, x, qmap, kv_pool=1)),
+        np.asarray(ca.apply(params, x, qmap)),
+    )
+
+
+def test_fast_model_same_param_tree_and_site_gate(rng):
+    """ca_kv_pool must not change the checkpoint format, and at 64^2 input
+    only the 32^2 CA site has >= 4096... actually no site does (32^2 =
+    1024), so the fast model's output must EQUAL the exact model's —
+    verifying the site gate — while at 128^2 the 64^2 site (4096 tokens)
+    pools and the outputs must differ."""
+    x64 = jnp.asarray(rng.standard_normal((1, 64, 64, 2)), jnp.float32)
+    gamma = jnp.array([0.5], jnp.float32)
+
+    exact = ResDiffUNet(image_size=64, norm_groups=16)
+    fast = ResDiffUNet(image_size=64, norm_groups=16, ca_kv_pool=2)
+    params = exact.init(jax.random.PRNGKey(1), x64, gamma)
+    params_fast = fast.init(jax.random.PRNGKey(1), x64, gamma)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_fast
+    )
+    np.testing.assert_array_equal(
+        np.asarray(exact.apply(params, x64, gamma)),
+        np.asarray(fast.apply(params, x64, gamma)),
+    )
+
+    x128 = jnp.asarray(rng.standard_normal((1, 128, 128, 2)), jnp.float32)
+    exact128 = ResDiffUNet(image_size=128, norm_groups=16)
+    fast128 = ResDiffUNet(image_size=128, norm_groups=16, ca_kv_pool=2)
+    p128 = exact128.init(jax.random.PRNGKey(2), x128, gamma)
+    a = np.asarray(exact128.apply(p128, x128, gamma))
+    b = np.asarray(fast128.apply(p128, x128, gamma))
+    assert np.abs(a - b).max() > 1e-6  # the 4096-token site actually pooled
+    # ... and the approximation stays close to exact on random inputs
+    assert np.abs(a - b).max() < 0.5
