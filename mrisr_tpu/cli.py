@@ -208,6 +208,14 @@ def main(argv=None):
     p.add_argument("--n-train", type=int, default=64, help="phantom training-set size")
     p.add_argument("--lr-schedule", default="constant", choices=["constant", "cosine"])
     p.add_argument("--batch", type=int, default=8, help="phantom training batch size")
+    p.add_argument("--plain-phantoms", action="store_true",
+                   help="legacy smooth-blob phantoms (no texture/lines)")
+    p.add_argument("--degrade-scale", type=float, default=4.0,
+                   help="degradation scale (blur sigma = 0.5*scale + bicubic down/up)")
+    p.add_argument("--fast", type=int, default=0,
+                   help="sample with the fast CA profile (K/V pool factor)")
+    p.add_argument("--skip-mnist", action="store_true",
+                   help="skip the MNIST leg (phantom-only runs)")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -286,6 +294,10 @@ def main(argv=None):
             n_train=args.n_train,
             lr_schedule=args.lr_schedule,
             batch=args.batch,
+            textured=not args.plain_phantoms,
+            degrade_scale=args.degrade_scale,
+            ca_kv_pool=args.fast,
+            skip_mnist=args.skip_mnist,
         )
         for k in ("mnist_regression", "phantom_cnn", "phantom_resdiff", "fastmri_cnn"):
             if k in report:

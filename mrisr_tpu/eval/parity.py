@@ -47,7 +47,20 @@ def _metrics(sr: np.ndarray, hr: np.ndarray) -> dict:
     }
 
 
-def _phantom_batches(n: int, res: int, seed0: int = 0):
+def _phantom_batches(
+    n: int, res: int, seed0: int = 0, textured: bool = True, degrade_scale: float = 4.0
+):
+    """Synthetic HR/LR pairs.
+
+    ``textured=False`` is the round-2..4 generator: 6 smooth Gaussian blobs.
+    VERDICT round-1 found it a weak fidelity vehicle — Stage-1 near-solves
+    it (48 dB), local variance ~ 0 makes SSIM meaningless, and the diffusion
+    stage can only add noise.  ``textured=True`` (now the default) adds the
+    content MRI actually has and Stage-1 cannot restore from heavy
+    degradation: band-limited noise texture gated to tissue, and fine
+    vessel-like line structure.  ``degrade_scale`` feeds the reference's
+    ``_simulate_low_res`` (blur sigma = 0.5*scale + bicubic down/up).
+    """
     from mrisr_tpu.data.degrade import simulate_low_res_np
 
     hrs, lrs = [], []
@@ -61,9 +74,34 @@ def _phantom_batches(n: int, res: int, seed0: int = 0):
             img += rng.uniform(0.2, 1.0) * np.exp(
                 -(((yy - cy) / a) ** 2 + ((xx - cx) / b) ** 2)
             )
+        if textured:
+            # Band-limited (mid-frequency annulus) noise texture, gated to
+            # tissue so the background stays clean.
+            f = np.fft.fft2(rng.standard_normal((res, res)).astype(np.float32))
+            fy = np.fft.fftfreq(res)[:, None]
+            fx = np.fft.fftfreq(res)[None, :]
+            r = np.sqrt(fy**2 + fx**2)
+            band = ((r > 0.08) & (r < 0.25)).astype(np.float32)
+            tex = np.fft.ifft2(f * band).real.astype(np.float32)
+            tex /= max(float(tex.std()), 1e-6)
+            img += 0.15 * tex * np.clip(img / 0.3, 0.0, 1.0)
+            # Fine curvilinear structure (vessel-like), ~1 px wide.
+            for _ in range(4):
+                t = np.linspace(0, 1, res * 4, dtype=np.float32)
+                x0, y0 = rng.uniform(0.1 * res, 0.9 * res, 2)
+                ang = rng.uniform(0, 2 * np.pi)
+                amp = rng.uniform(0.05, 0.2) * res
+                freq = rng.uniform(1.0, 3.0)
+                length = rng.uniform(0.3, 0.8) * res
+                wave = amp * np.sin(2 * np.pi * freq * t)
+                cxs = x0 + t * length * np.cos(ang) + wave * np.sin(ang)
+                cys = y0 + t * length * np.sin(ang) - wave * np.cos(ang)
+                ix = np.clip(cxs.astype(int), 0, res - 1)
+                iy = np.clip(cys.astype(int), 0, res - 1)
+                img[iy, ix] += rng.uniform(0.3, 0.6)
         img = np.clip(img, 0, 1)
         hrs.append(img[..., None])
-        lrs.append(simulate_low_res_np(img, 4.0)[..., None])
+        lrs.append(simulate_low_res_np(img, degrade_scale)[..., None])
     return np.stack(lrs), np.stack(hrs)
 
 
@@ -117,7 +155,14 @@ def run_mnist(steps: int = 300, batch: int = 64) -> dict:
     }
 
 
-def run_phantom_cnn(steps: int = 400, res: int = 64, batch: int = 8, n_train: int = 64) -> dict:
+def run_phantom_cnn(
+    steps: int = 400,
+    res: int = 64,
+    batch: int = 8,
+    n_train: int = 64,
+    textured: bool = True,
+    degrade_scale: float = 4.0,
+) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -130,13 +175,17 @@ def run_phantom_cnn(steps: int = 400, res: int = 64, batch: int = 8, n_train: in
     params = cnn.init(key, jnp.zeros((1, res, res, 1)))
     state = create_train_state(cnn.apply, params, make_optimizer(1e-4))
     step = make_cnn_train_step(cnn)
-    lr_all, hr_all = _phantom_batches(n_train, res)
+    lr_all, hr_all = _phantom_batches(
+        n_train, res, textured=textured, degrade_scale=degrade_scale
+    )
     for i in range(steps):
         idx = np.random.default_rng(i).integers(0, len(lr_all), batch)
         b = {"lr": jnp.asarray(lr_all[idx]), "hr": jnp.asarray(hr_all[idx])}
         state, m = step(state, b, jax.random.fold_in(key, i))
 
-    lr_te, hr_te = _phantom_batches(32, res, seed0=1000)
+    lr_te, hr_te = _phantom_batches(
+        32, res, seed0=1000, textured=textured, degrade_scale=degrade_scale
+    )
     pred = np.asarray(cnn.apply(state.params, jnp.asarray(lr_te)))
     return {
         "steps": steps,
@@ -155,6 +204,9 @@ def run_phantom_resdiff(
     n_train: int = 64,
     lr_schedule: str = "constant",
     ema_decay: float = 0.99,
+    textured: bool = True,
+    degrade_scale: float = 4.0,
+    ca_kv_pool: int = 0,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -169,7 +221,9 @@ def run_phantom_resdiff(
     key = jax.random.PRNGKey(1)
     cnn = SimpleCNN()
     cnn_params = cnn_result["cnn_params"]
-    unet = ResDiffUNet(image_size=res, inner_channel=16, norm_groups=8)
+    unet = ResDiffUNet(
+        image_size=res, inner_channel=16, norm_groups=8, ca_kv_pool=ca_kv_pool
+    )
     params = unet.init(key, jnp.zeros((1, res, res, 2)), jnp.array([0.5]))
     sched = resdiff_schedule(1000)
     if lr_schedule == "cosine":
@@ -183,7 +237,9 @@ def run_phantom_resdiff(
     state = create_train_state(unet.apply, params, opt, ema_decay=ema_decay)
     step = make_resdiff_train_step(unet, sched)
 
-    lr_all, hr_all = _phantom_batches(n_train, res)
+    lr_all, hr_all = _phantom_batches(
+        n_train, res, textured=textured, degrade_scale=degrade_scale
+    )
     cnn_apply = jax.jit(cnn.apply)
     for i in range(steps):
         idx = np.random.default_rng(10_000 + i).integers(0, len(lr_all), batch)
@@ -191,7 +247,9 @@ def run_phantom_resdiff(
         sr = cnn_apply(cnn_params, lr)
         state, m = step(state, {"sr": sr, "hr": jnp.asarray(hr_all[idx])}, jax.random.fold_in(key, i))
 
-    lr_te, hr_te = _phantom_batches(16, res, seed0=1000)
+    lr_te, hr_te = _phantom_batches(
+        16, res, seed0=1000, textured=textured, degrade_scale=degrade_scale
+    )
     pipe = ResDiffPipeline(cnn, unet, sched, cnn_params, state.ema_params)
     # Sampling-chain-length sweep: the reference validates with the FULL
     # 1000-step chain (cell 46 swaps the noise schedule to 'val'); short
@@ -204,10 +262,15 @@ def run_phantom_resdiff(
         by_steps[str(k)] = _metrics(out, hr_te)
     best = max(by_steps.values(), key=lambda m: m["psnr"])
     stage1 = np.asarray(cnn_apply(cnn_params, jnp.asarray(lr_te)))
+    # Headline = the 50-step chain (the throughput-benched configuration —
+    # VERDICT round-1 weak-4: fidelity and throughput must be measured at
+    # the SAME config); the best-of-chains is reported separately.
+    headline = by_steps.get("50", best)
     return {
         "steps": steps,
         "sample_steps": list(sample_steps),
-        "model": best,
+        "model": headline,
+        "best_chain": best,
         "by_sample_steps": by_steps,
         "stage1_cnn": _metrics(stage1, hr_te),
         "bicubic_baseline": _metrics(lr_te, hr_te),
@@ -264,18 +327,29 @@ def run_parity(
     n_train: int = 64,
     lr_schedule: str = "constant",
     batch: int = 8,
+    textured: bool = True,
+    degrade_scale: float = 4.0,
+    ca_kv_pool: int = 0,
+    skip_mnist: bool = False,
 ) -> dict:
     t0 = time.time()
     report: dict = {"anchors": REFERENCE_ANCHORS}
-    report["mnist_regression"] = run_mnist(mnist_steps)
-    cnn_res = run_phantom_cnn(phantom_steps, res, batch=batch, n_train=n_train)
+    if not skip_mnist:
+        report["mnist_regression"] = run_mnist(mnist_steps)
+    cnn_res = run_phantom_cnn(
+        phantom_steps, res, batch=batch, n_train=n_train,
+        textured=textured, degrade_scale=degrade_scale,
+    )
     report["phantom_cnn"] = {k: v for k, v in cnn_res.items() if k != "cnn_params"}
     report["phantom_resdiff"] = run_phantom_resdiff(
         cnn_res, resdiff_steps, res, batch=batch, n_train=n_train,
-        lr_schedule=lr_schedule,
+        lr_schedule=lr_schedule, textured=textured, degrade_scale=degrade_scale,
+        ca_kv_pool=ca_kv_pool,
     )
     report["config"] = {
-        "n_train": n_train, "lr_schedule": lr_schedule, "res": res, "batch": batch
+        "n_train": n_train, "lr_schedule": lr_schedule, "res": res, "batch": batch,
+        "textured": textured, "degrade_scale": degrade_scale,
+        "ca_kv_pool": ca_kv_pool,
     }
     if index_json:
         report["fastmri_cnn"] = run_fastmri_cnn(index_json)
