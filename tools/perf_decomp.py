@@ -22,8 +22,19 @@ import numpy as np
 
 RNG = np.random.default_rng(time.time_ns() % 2**31)
 
+# CPU smoke-testing of the knockout patches: MRISR_DECOMP_SIZE=64
+# MRISR_DECOMP_STEPS=2 MRISR_DECOMP_REPEATS=1 JAX_PLATFORMS=cpu (the
+# sitecustomize honors jax.config only, so set it below too).
+import os as _os
 
-def build_pipe(size=256, dtype=jnp.bfloat16):
+_SIZE = int(_os.environ.get("MRISR_DECOMP_SIZE", "256"))
+_STEPS = int(_os.environ.get("MRISR_DECOMP_STEPS", "50"))
+_REPEATS = int(_os.environ.get("MRISR_DECOMP_REPEATS", "4"))
+if _os.environ.get("MRISR_DECOMP_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
+
+def build_pipe(size=_SIZE, dtype=jnp.bfloat16):
     from mrisr_tpu.diffusion.schedules import resdiff_schedule
     from mrisr_tpu.models.resdiff_unet import ResDiffUNet
     from mrisr_tpu.models.simple_cnn import SimpleCNN
@@ -44,7 +55,7 @@ def build_pipe(size=256, dtype=jnp.bfloat16):
     )
 
 
-def time_variant(label, steps=50, repeats=4):
+def time_variant(label, steps=_STEPS, repeats=_REPEATS):
     pipe, shape, dtype = build_pipe()
 
     def fresh():
