@@ -1,16 +1,25 @@
 """Headline benchmark: ResDiff SR throughput, 50-step DDIM chain at 256x256.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: BASELINE.json target of 20 slices/sec/chip (the reference itself
 publishes no throughput numbers — SURVEY.md §6).
 
 The whole two-stage pipeline (SimpleCNN + ResDiff UNet x 50 steps) runs as
 one jitted lax.scan program in bfloat16 on the available accelerator.
+
+Measurement rules (PERF.md "Environment caveat"): the axon relay memoizes
+identical (program, input-values) executions ACROSS sessions, so every
+input here is host-entropy-seeded (``os.urandom``) and fresh per
+repetition — no value the relay can ever have seen before.  The headline
+number is the async-dispatch aggregate (R chains dispatched, one drain —
+the validated pattern: modes agree and time scales linearly in R); per-rep
+blocked wall-times and their stdev are reported alongside as evidence.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -21,10 +30,15 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=6)
     ap.add_argument("--cpu-smoke", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
+    ap.add_argument(
+        "--fast", type=int, default=0,
+        help="fast serving profile: K/V pool factor at the big HF-CA sites "
+        "(0 = exact reference semantics, the default headline)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -41,45 +55,80 @@ def main():
     from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
     key = jax.random.PRNGKey(0)
 
     cnn = SimpleCNN()
-    unet = ResDiffUNet(image_size=args.size)
+    unet = ResDiffUNet(image_size=args.size, ca_kv_pool=args.fast)
     sched = resdiff_schedule(1000)
 
-    lr = jnp.zeros((args.batch, args.size, args.size, 1), dtype)
-    k1, k2, k3 = jax.random.split(key, 3)
-    cnn_params = cnn.init(k1, lr)
-    unet_params = unet.init(k2, jnp.zeros((1, args.size, args.size, 2), dtype), jnp.array([0.5]))
+    shape = (args.batch, args.size, args.size, 1)
+    cnn_params = cnn.init(key, jnp.zeros(shape, dtype))
+    unet_params = unet.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, args.size, args.size, 2), dtype), jnp.array([0.5])
+    )
     cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dtype), t)
     pipe = ResDiffPipeline(cnn, unet, sched, cast(cnn_params), cast(unet_params))
 
+    def fresh():
+        """Host-entropy LR batch + PRNG key the relay has never seen.
+
+        Inputs are device_put and BLOCKED before use, so timed regions
+        measure chain execution, not host->device upload through the
+        relay tunnel."""
+        lr = jax.device_put(jnp.asarray(rng.standard_normal(shape), dtype))
+        k = jax.random.PRNGKey(int(rng.integers(2**62)))
+        lr.block_until_ready()
+        k.block_until_ready()
+        return lr, k
+
     # Warmup / compile
-    out = pipe.super_resolve(lr, k3, num_steps=args.steps)
+    lr, k = fresh()
+    out = pipe.super_resolve(lr, k, num_steps=args.steps)
     out.block_until_ready()
 
     if args.profile:
         from mrisr_tpu.utils.profiling import trace
 
+        lr, k = fresh()
         with trace(args.profile):
-            out = pipe.super_resolve(lr, jax.random.fold_in(k3, 99), num_steps=args.steps)
+            out = pipe.super_resolve(lr, k, num_steps=args.steps)
             out.block_until_ready()
 
+    # Headline: async-dispatch aggregate over fresh inputs (validated rig).
+    ins = [fresh() for _ in range(args.repeats)]
     t0 = time.perf_counter()
-    for i in range(args.repeats):
-        out = pipe.super_resolve(lr, jax.random.fold_in(k3, i), num_steps=args.steps)
+    for lr, k in ins:
+        out = pipe.super_resolve(lr, k, num_steps=args.steps)
     out.block_until_ready()
+    np.asarray(out[0, 0, 0, 0])  # drain fetch
     elapsed = time.perf_counter() - t0
+
+    # Evidence: per-repetition blocked wall-times (includes per-call RPC
+    # overhead, so slightly above the headline — reported for stdev only).
+    per_rep_ms = []
+    for lr, k in (fresh() for _ in range(args.repeats)):
+        t1 = time.perf_counter()
+        out = pipe.super_resolve(lr, k, num_steps=args.steps)
+        out.block_until_ready()
+        per_rep_ms.append((time.perf_counter() - t1) * 1e3)
 
     n_chips = jax.local_device_count()
     slices_per_sec_per_chip = args.batch * args.repeats / elapsed / n_chips
     print(
         json.dumps(
             {
-                "metric": f"ResDiff SR slices/sec/chip ({args.steps}-step DDIM {args.size}x{args.size}, bs={args.batch}, {args.dtype})",
+                "metric": (
+                    f"ResDiff SR slices/sec/chip ({args.steps}-step DDIM "
+                    f"{args.size}x{args.size}, bs={args.batch}, {args.dtype}"
+                    + (f", fast kv_pool={args.fast}" if args.fast > 1 else "")
+                    + ")"
+                ),
                 "value": round(float(slices_per_sec_per_chip), 3),
                 "unit": "slices/sec/chip",
                 "vs_baseline": round(float(slices_per_sec_per_chip) / 20.0, 3),
+                "per_rep_blocked_ms": [round(t, 1) for t in per_rep_ms],
+                "per_rep_stdev_ms": round(float(np.std(per_rep_ms)), 2),
             }
         )
     )
