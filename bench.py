@@ -10,10 +10,11 @@ one jitted lax.scan program in bfloat16 on the available accelerator.
 Measurement rules (PERF.md "Environment caveat"): the axon relay memoizes
 identical (program, input-values) executions ACROSS sessions, so every
 input here is host-entropy-seeded (``os.urandom``) and fresh per
-repetition — no value the relay can ever have seen before.  The headline
-number is the async-dispatch aggregate (R chains dispatched, one drain —
-the validated pattern: modes agree and time scales linearly in R); per-rep
-blocked wall-times and their stdev are reported alongside as evidence.
+repetition — no value the relay can ever have seen before — and device_put
++ blocked before timing so uploads don't count.  The headline is the mean
+of R blocked chain wall-times (the relay does not pipeline un-drained
+async dispatches, so blocked chains are both honest and fastest); the
+per-rep list and stdev ship in the JSON as evidence.
 """
 from __future__ import annotations
 
@@ -95,17 +96,12 @@ def main():
             out = pipe.super_resolve(lr, k, num_steps=args.steps)
             out.block_until_ready()
 
-    # Headline: async-dispatch aggregate over fresh inputs (validated rig).
-    ins = [fresh() for _ in range(args.repeats)]
-    t0 = time.perf_counter()
-    for lr, k in ins:
-        out = pipe.super_resolve(lr, k, num_steps=args.steps)
-    out.block_until_ready()
-    np.asarray(out[0, 0, 0, 0])  # drain fetch
-    elapsed = time.perf_counter() - t0
-
-    # Evidence: per-repetition blocked wall-times (includes per-call RPC
-    # overhead, so slightly above the headline — reported for stdev only).
+    # Headline: blocked per-repetition chains over fresh pre-staged inputs.
+    # (An async-dispatch aggregate was measured 3-4x SLOWER through the
+    # relay than blocked calls — the relay does not pipeline un-drained
+    # dispatches — so blocked chains are both the honest and the faster
+    # measurement; round-4's async-aggregate "validation" was flattered by
+    # relay memoization of its session-invariant inputs.)
     per_rep_ms = []
     for lr, k in (fresh() for _ in range(args.repeats)):
         t1 = time.perf_counter()
@@ -114,6 +110,7 @@ def main():
         per_rep_ms.append((time.perf_counter() - t1) * 1e3)
 
     n_chips = jax.local_device_count()
+    elapsed = sum(per_rep_ms) / 1e3
     slices_per_sec_per_chip = args.batch * args.repeats / elapsed / n_chips
     print(
         json.dumps(
