@@ -83,7 +83,7 @@ def super_resolve_volume(
     (slower, and the fp32 flash tiles need smaller blocks).
     """
     img = to_ras(read_nifti(nifti_path))
-    slices, shapes = volume_to_model_slices(img.data, axis, resolution, clip)
+    vol = img.data
     if dtype is None:
         # Majority leaf dtype = the trunk's activation dtype even for mixed
         # trees (e.g. fp32 norm scales inside a bf16 tree, where leaves[0]
@@ -94,31 +94,52 @@ def super_resolve_volume(
             counts = Counter(l.dtype for l in leaves)
             dtype = counts.most_common(1)[0][0]
         else:
-            dtype = slices.dtype
+            dtype = np.float32
 
-    n = slices.shape[0]
+    n = vol.shape[axis]
     pad_to = -(-n // batch_size) * batch_size
-    if pad_to != n:
-        slices = np.concatenate([slices, np.repeat(slices[-1:], pad_to - n, axis=0)])
+    shapes: list = [None] * n
+
+    def _prep_batch(s: int) -> np.ndarray:
+        """window/pad one batch of slices (runs on the prefetch thread so
+        host preprocessing overlaps the device chain — round-2 serving-gap
+        work; padding batches repeat the last slice)."""
+        arrs = []
+        for i in range(s, s + batch_size):
+            j = min(i, n - 1)
+            sl = [slice(None)] * vol.ndim
+            sl[axis] = j
+            im = to_minus_one_one(clip_to_unit_interval(vol[tuple(sl)], clip))
+            if i < n:
+                shapes[i] = im.shape
+            im = pad_or_center_crop(im, (resolution, resolution), pad_value=-1.0)
+            arrs.append(im[..., None])
+        return np.stack(arrs).astype(np.float32)
 
     key = jax.random.PRNGKey(seed)
     outs: list[np.ndarray] = []
     # Keep a window of batches in flight: JAX dispatch is async, so the
-    # host-side transfer/restack of batch i overlaps the device computing
-    # batch i+1..i+window instead of blocking per batch.
+    # host-side prefetch-preprocess/transfer/restack of batch i overlaps
+    # the device computing batch i+1..i+window instead of blocking per
+    # batch; slice preprocessing runs ahead on a worker thread.
     window = 4
     in_flight: list = []
-    for s in range(0, pad_to, batch_size):
-        batch = jnp.asarray(slices[s : s + batch_size], dtype)
-        if mesh is not None:
-            from mrisr_tpu.parallel.mesh import batch_sharding
+    from concurrent.futures import ThreadPoolExecutor
 
-            batch = jax.device_put(batch, batch_sharding(mesh, 4))
-        in_flight.append(
-            pipeline.super_resolve(batch, jax.random.fold_in(key, s), num_steps)
-        )
-        if len(in_flight) >= window:
-            outs.append(np.asarray(in_flight.pop(0), np.float32))
+    starts = list(range(0, pad_to, batch_size))
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = [ex.submit(_prep_batch, s) for s in starts]
+        for s, fut in zip(starts, futs):
+            batch = jnp.asarray(fut.result(), dtype)
+            if mesh is not None:
+                from mrisr_tpu.parallel.mesh import batch_sharding
+
+                batch = jax.device_put(batch, batch_sharding(mesh, 4))
+            in_flight.append(
+                pipeline.super_resolve(batch, jax.random.fold_in(key, s), num_steps)
+            )
+            if len(in_flight) >= window:
+                outs.append(np.asarray(in_flight.pop(0), np.float32))
     outs.extend(np.asarray(sr, np.float32) for sr in in_flight)
     sr_all = np.concatenate(outs)[:n]
 
