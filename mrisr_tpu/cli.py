@@ -216,6 +216,12 @@ def main(argv=None):
                    help="sample with the fast CA profile (K/V pool factor)")
     p.add_argument("--skip-mnist", action="store_true",
                    help="skip the MNIST leg (phantom-only runs)")
+    p.add_argument("--texture-mode", default="recoverable",
+                   choices=["recoverable", "legacy"],
+                   help="textured-phantom information structure (see "
+                        "eval/parity.py::_phantom_batches)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run a 50-step sampling eval every N resdiff steps")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -298,6 +304,8 @@ def main(argv=None):
             degrade_scale=args.degrade_scale,
             ca_kv_pool=args.fast,
             skip_mnist=args.skip_mnist,
+            texture_mode=args.texture_mode,
+            eval_every=args.eval_every,
         )
         for k in ("mnist_regression", "phantom_cnn", "phantom_resdiff", "fastmri_cnn"):
             if k in report:

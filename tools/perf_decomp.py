@@ -41,7 +41,11 @@ def build_pipe(size=_SIZE, dtype=jnp.bfloat16):
     from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
 
     cnn = SimpleCNN()
-    unet = ResDiffUNet(image_size=size)
+    # MRISR_DECOMP_KV_POOL >= 2 runs every variant under the fast serving
+    # profile (K/V pooled at the big CA sites) so the fast profile's
+    # residual budget decomposes the same way the exact one did.
+    kv_pool = int(_os.environ.get("MRISR_DECOMP_KV_POOL", "0"))
+    unet = ResDiffUNet(image_size=size, ca_kv_pool=kv_pool)
     lr = jnp.asarray(RNG.standard_normal((8, size, size, 1)), dtype)
     cnn_params = cnn.init(jax.random.PRNGKey(0), lr)
     unet_params = unet.init(
