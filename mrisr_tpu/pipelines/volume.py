@@ -117,30 +117,46 @@ def super_resolve_volume(
         return np.stack(arrs).astype(np.float32)
 
     key = jax.random.PRNGKey(seed)
-    outs: list[np.ndarray] = []
     # Keep a window of batches in flight: JAX dispatch is async, so the
     # host-side prefetch-preprocess/transfer/restack of batch i overlaps
     # the device computing batch i+1..i+window instead of blocking per
-    # batch; slice preprocessing runs ahead on a worker thread.
+    # batch; slice preprocessing runs ahead on a worker thread, and result
+    # DOWNLOADS run on a second worker thread so the ~tens-of-ms per-batch
+    # device->host fetch through the relay tunnel overlaps the next chain
+    # instead of serialising after it (round-2 serving-gap work).  Results
+    # come back in the device dtype (bf16 = half the tunnel bytes) and are
+    # widened to fp32 on the host.
     window = 4
-    in_flight: list = []
     from concurrent.futures import ThreadPoolExecutor
 
+    def _fetch(sr) -> np.ndarray:
+        return np.asarray(sr).astype(np.float32)
+
     starts = list(range(0, pad_to, batch_size))
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        futs = [ex.submit(_prep_batch, s) for s in starts]
-        for s, fut in zip(starts, futs):
+    with ThreadPoolExecutor(max_workers=1) as prep_ex, ThreadPoolExecutor(
+        max_workers=1
+    ) as fetch_ex:
+        preps = [prep_ex.submit(_prep_batch, s) for s in starts]
+        fetches: list = []
+        for s, fut in zip(starts, preps):
             batch = jnp.asarray(fut.result(), dtype)
             if mesh is not None:
                 from mrisr_tpu.parallel.mesh import batch_sharding
 
                 batch = jax.device_put(batch, batch_sharding(mesh, 4))
-            in_flight.append(
-                pipeline.super_resolve(batch, jax.random.fold_in(key, s), num_steps)
+            fetches.append(
+                fetch_ex.submit(
+                    _fetch,
+                    pipeline.super_resolve(
+                        batch, jax.random.fold_in(key, s), num_steps
+                    ),
+                )
             )
-            if len(in_flight) >= window:
-                outs.append(np.asarray(in_flight.pop(0), np.float32))
-    outs.extend(np.asarray(sr, np.float32) for sr in in_flight)
+            # Bound in-flight device work: block dispatch only once the
+            # batch ``window`` dispatches behind has not finished fetching.
+            if len(fetches) >= window:
+                fetches[-window].result()
+        outs = [f.result() for f in fetches]
     sr_all = np.concatenate(outs)[:n]
 
     vol = restack_slices(sr_all, shapes, axis)

@@ -99,7 +99,7 @@ def main():
 
         orig_ca = layers.HFGuidedCrossAttention.__call__
         layers.HFGuidedCrossAttention.__call__ = (
-            lambda self, x, q, s2d=False, io_s2d=False: x
+            lambda self, x, q, s2d=False, io_s2d=False, kv_pool=0: x
         )
         time_variant("no cross-attention")
         layers.HFGuidedCrossAttention.__call__ = orig_ca

@@ -156,7 +156,12 @@ def main():
     # --- CA attention kernel -> V passthrough (projections kept) -----------
     if want("capass"):
         orig_ca2d = layers.cross_attention_2d
-        layers.cross_attention_2d = lambda q, k, v, **kw: v
+        # Broadcast one V row to Q's token count: under MRISR_DECOMP_KV_POOL
+        # the pooled V has fewer tokens than Q, so returning v directly would
+        # shape-error at the output reshape (timing-only probe either way).
+        layers.cross_attention_2d = lambda q, k, v, **kw: jnp.broadcast_to(
+            v[:, :1, :], q.shape
+        )
         time_variant("CA kernel -> V passthrough")
         layers.cross_attention_2d = orig_ca2d
 
