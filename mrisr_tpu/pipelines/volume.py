@@ -117,44 +117,47 @@ def super_resolve_volume(
         return np.stack(arrs).astype(np.float32)
 
     key = jax.random.PRNGKey(seed)
-    # Keep a window of batches in flight: JAX dispatch is async, so the
-    # host-side prefetch-preprocess/transfer/restack of batch i overlaps
-    # the device computing batch i+1..i+window instead of blocking per
-    # batch; slice preprocessing runs ahead on a worker thread, and result
-    # DOWNLOADS run on a second worker thread so the ~tens-of-ms per-batch
-    # device->host fetch through the relay tunnel overlaps the next chain
-    # instead of serialising after it (round-2 serving-gap work).  Results
-    # come back in the device dtype (bf16 = half the tunnel bytes) and are
-    # widened to fp32 on the host.
-    window = 4
+    # Host/device overlap structure: slice preprocessing AND the
+    # host->device upload run ahead on a prefetch thread, result DOWNLOADS
+    # run on a second thread, and — critically — each 50-step chain is
+    # DRAINED (blocked) before the next one is dispatched.  The axon relay
+    # does not pipeline un-drained async dispatches (PERF.md round-5: an
+    # async aggregate measured 3-4x slower than blocked chains), so the
+    # earlier window=4 async pattern actively serialised the device work;
+    # blocked chains with threaded upload/download keep the chip busy and
+    # hide the ~tens-of-ms tunnel transfers behind the current chain.
+    # ``MRISR_VOLUME_ASYNC_WINDOW > 0`` restores the old pattern for A/B.
+    # Results come back in the device dtype (bf16 = half the tunnel bytes)
+    # and are widened to fp32 on the host.
+    import os
     from concurrent.futures import ThreadPoolExecutor
+
+    window = int(os.environ.get("MRISR_VOLUME_ASYNC_WINDOW", "0"))
 
     def _fetch(sr) -> np.ndarray:
         return np.asarray(sr).astype(np.float32)
+
+    def _prep_upload(s: int):
+        batch = jnp.asarray(_prep_batch(s), dtype)
+        if mesh is not None:
+            from mrisr_tpu.parallel.mesh import batch_sharding
+
+            batch = jax.device_put(batch, batch_sharding(mesh, 4))
+        batch.block_until_ready()
+        return batch
 
     starts = list(range(0, pad_to, batch_size))
     with ThreadPoolExecutor(max_workers=1) as prep_ex, ThreadPoolExecutor(
         max_workers=1
     ) as fetch_ex:
-        preps = [prep_ex.submit(_prep_batch, s) for s in starts]
+        preps = [prep_ex.submit(_prep_upload, s) for s in starts]
         fetches: list = []
         for s, fut in zip(starts, preps):
-            batch = jnp.asarray(fut.result(), dtype)
-            if mesh is not None:
-                from mrisr_tpu.parallel.mesh import batch_sharding
-
-                batch = jax.device_put(batch, batch_sharding(mesh, 4))
-            fetches.append(
-                fetch_ex.submit(
-                    _fetch,
-                    pipeline.super_resolve(
-                        batch, jax.random.fold_in(key, s), num_steps
-                    ),
-                )
-            )
-            # Bound in-flight device work: block dispatch only once the
-            # batch ``window`` dispatches behind has not finished fetching.
-            if len(fetches) >= window:
+            sr = pipeline.super_resolve(fut.result(), jax.random.fold_in(key, s), num_steps)
+            if window <= 0:
+                sr.block_until_ready()
+            fetches.append(fetch_ex.submit(_fetch, sr))
+            if window > 0 and len(fetches) >= window:
                 fetches[-window].result()
         outs = [f.result() for f in fetches]
     sr_all = np.concatenate(outs)[:n]
