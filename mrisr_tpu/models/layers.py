@@ -10,6 +10,7 @@ spatial self-attention, and HF-guided cross-attention.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,9 @@ from mrisr_tpu.ops.space_to_depth import (
 # override it); flax defaults to 1e-6 — the mismatch was surfaced by the
 # torch differential test (tests/test_resdiff_torch_parity.py).
 GN_EPS = 1e-5
+# Fused Pallas GN+SiLU inside the s2d ConvBlocks (one HBM pass; exact —
+# ops/groupnorm.py).  Gated off pending the chain-level A/B on chip.
+S2D_FUSED_GN = os.environ.get("MRISR_S2D_FUSED_GN", "0") == "1"
 
 
 class SinusoidalTimeEmbedding(nn.Module):
@@ -158,12 +162,27 @@ class SGroupNorm(nn.Module):
     epsilon: float = GN_EPS
 
     @nn.compact
-    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, y: jnp.ndarray, fuse_silu: bool = False) -> jnp.ndarray:
         b, h, w, c4 = y.shape
         c = c4 // 4
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones_init(), (c,))
         bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+
+        if fuse_silu:
+            # GN + SiLU in one HBM pass.  The c-major s2d channel order makes
+            # plain group g a CONTIGUOUS lane range [g*(c//g)*4, (g+1)*(c//g)*4)
+            # of the 4C lane dim, so the plain-layout Pallas kernel
+            # (ops/groupnorm.py) applies verbatim with groups=g and the
+            # scale/bias tiled onto s2d lanes; stats pool the same
+            # H*W*(c//g)*4 elements the plain GroupNorm pools.  The op
+            # guarantees SiLU is applied (kernel on TPU when the image block
+            # fits VMEM, exact lax composition elsewhere).
+            from mrisr_tpu.ops.groupnorm import fused_group_norm_silu
+
+            return fused_group_norm_silu(
+                y, tile4_vec(scale), tile4_vec(bias), g, self.epsilon
+            )
 
         xf = y.reshape(b, h, w, g, c // g, 4).astype(jnp.float32)
         mu = jnp.mean(xf, axis=(1, 2, 4, 5), keepdims=True)
@@ -197,10 +216,17 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         if self.s2d:
-            h = SGroupNorm(self.groups, name="GroupNorm_0")(x)
+            # At the s2d shape the image block fits VMEM (128^2 x 4C fp32 =
+            # 8 MB at C=32) and the lanes are fully packed, so the fused
+            # Pallas GN+SiLU (one HBM pass instead of stats + normalize
+            # passes) is viable here — unlike the plain 256^2 C=32 case
+            # recorded above.  Env-gated for chain-level A/B (PERF.md).
+            h = SGroupNorm(self.groups, name="GroupNorm_0")(x, fuse_silu=S2D_FUSED_GN)
+            if not S2D_FUSED_GN:
+                h = nn.swish(h)
         else:
             h = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS, name="GroupNorm_0")(x)
-        h = nn.swish(h)
+            h = nn.swish(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         if self.s2d:

@@ -44,7 +44,10 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups, eps):
     avg = (ci == cj).astype(jnp.float32) / float(h * w * gsz)
     mean = jax.lax.dot(s1, avg, preferred_element_type=jnp.float32)  # [1, C]
     ex2 = jax.lax.dot(s2, avg, preferred_element_type=jnp.float32)
-    inv = jax.lax.rsqrt(ex2 - mean * mean + eps)
+    # fast variance clipped at zero — matches flax.linen.GroupNorm /
+    # models.layers.SGroupNorm numerics exactly
+    var = jnp.maximum(ex2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
 
     y = (x - mean[0][None, None, :]) * inv[0][None, None, :]
     y = y * scale_ref[0, :][None, None, :] + bias_ref[0, :][None, None, :]

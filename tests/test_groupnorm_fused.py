@@ -44,6 +44,48 @@ def test_fused_gradients_match_composition(key):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_sgroupnorm_fuse_silu_matches_composition(key):
+    """SGroupNorm(fuse_silu=True) == SGroupNorm + swish on s2d tensors.
+
+    The c-major s2d order makes plain group g a contiguous lane range, so
+    the plain-layout fused op applies verbatim (models/layers.py).  On CPU
+    this exercises the exact lax fallback; the interpret-mode kernel check
+    covers the Pallas path at the same s2d shape."""
+    from mrisr_tpu.models.layers import SGroupNorm, tile4_vec
+    from mrisr_tpu.ops.groupnorm import _gn_silu_forward
+
+    x = jax.random.normal(key, (2, 8, 8, 32), jnp.float32)  # s2d of C=8
+    gn = SGroupNorm(4)
+    p = gn.init(key, x)
+    p = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(key, a.shape) * 0.3 + 1.0, p
+    )
+    want = nn.swish(gn.apply(p, x))
+    got = gn.apply(p, x, fuse_silu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    scale, bias = p["params"]["scale"], p["params"]["bias"]
+    kern = _gn_silu_forward(
+        x, tile4_vec(scale), tile4_vec(bias), 4, 1e-5, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(want), atol=2e-5)
+
+
+def test_convblock_s2d_fused_gate_is_exact(key, monkeypatch):
+    """ConvBlock s2d output is identical with the fused-GN gate on and off
+    (CPU: composition fallback; the kernel itself is covered above)."""
+    from mrisr_tpu.models import layers
+
+    x = jax.random.normal(key, (1, 8, 8, 32))
+    blk = layers.ConvBlock(8, groups=4, s2d=True)
+    params = blk.init(key, x)
+    monkeypatch.setattr(layers, "S2D_FUSED_GN", False)
+    off = blk.apply(params, x)
+    monkeypatch.setattr(layers, "S2D_FUSED_GN", True)
+    on = blk.apply(params, x)
+    np.testing.assert_allclose(np.asarray(on), np.asarray(off), atol=2e-6)
+
+
 def test_convblock_matches_fused_reference(key):
     """ConvBlock's GN+swish equals the fused op's reference composition
     (the kernel is a drop-in if its VMEM economics ever work out)."""
