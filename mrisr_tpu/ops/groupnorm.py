@@ -1,18 +1,30 @@
 """Pallas fused GroupNorm + SiLU for NHWC feature maps.
 
 The SR3 ConvBlock (models/layers.py) is GN -> SiLU -> conv; XLA executes
-the normalization as separate stats + normalize passes over HBM.  This
-kernel computes group statistics, the affine normalization, and the SiLU
-activation in ONE pass through VMEM per image (grid over batch), saving a
-full read of the activation tensor at 256² where the conv path is
-bandwidth-bound (PERF.md "Conv path").
+the normalization as stats + normalize passes over HBM (~3 HBM passes).
+This kernel keeps the whole image resident in VMEM in its storage dtype
+and streams the fp32 statistics/normalization through row chunks, so HBM
+sees ONE read and ONE write — the bandwidth floor for an exact GN.
+
+VMEM economics (the reason for the chunked design): the naive whole-image
+kernel materializes the fp32 cast + normalized temporaries, peaking at
+~4 full-image fp32 buffers — measured 32 MB at the s2d level-0 shape
+(1, 128, 128, 128) fp32 against the 16 MB scoped-VMEM limit (hard compile
+error on v5e).  Chunking the fp32 math bounds the peak at
+in + out + O(chunk) fp32 temporaries; the ``_use_kernel`` gate mirrors
+that budget, so fp32 inputs at big shapes fall back to the exact lax
+composition automatically (e.g. module init, which runs in fp32).
 
 Backward uses the exact lax composition via custom_vjp (identical math, so
 gradients are exact); the kernel is forward/inference-path only.
 
 Layout note: channels stay minor (C on lanes).  Group stats reduce over
-(H, W, C/G); with C=32 and 16 groups the per-group slices are 2 lanes wide
-— the reduction is still a single VMEM pass.
+(H, W, C/G); per-channel sums stay on lanes, and a [C, C] same-group
+averaging matmul spreads each group's mean/2nd moment back onto its member
+channels (Mosaic cannot lower a lane-splitting [H,W,C] -> [HW,G,C/G]
+reshape).  With the c-major space-to-depth channel order a plain group is
+a contiguous lane range, so s2d tensors use this kernel verbatim
+(models/layers.py::SGroupNorm ``fuse_silu``).
 """
 from __future__ import annotations
 
@@ -27,31 +39,49 @@ from jax.experimental.pallas import tpu as pltpu
 # opt-out switch (MRISR_FUSED_GN=0 falls back to the lax composition)
 FUSED_GN = os.environ.get("MRISR_FUSED_GN", "1") == "1"
 
+# Rows per fp32 working chunk inside the kernel (the image stays resident
+# in its storage dtype; only the chunk is cast/normalized in fp32).
+_CHUNK_ROWS = 16
+
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups, eps):
-    x = x_ref[0].astype(jnp.float32)  # [H, W, C]
-    h, w, c = x.shape
+    h, w, c = x_ref.shape[1:]
     gsz = c // groups
+    bh = min(_CHUNK_ROWS, h)
+    n_chunks = h // bh  # h % bh == 0 enforced by _use_kernel
 
-    # Group statistics without a lane-splitting reshape (Mosaic cannot
-    # lower [H,W,C] -> [HW,G,C/G]): per-channel sums stay on lanes, then a
-    # [C,C] same-group averaging matmul spreads each group's mean/2nd
-    # moment back onto its member channels.
-    s1 = jnp.sum(x, axis=(0, 1)).reshape(1, c)
-    s2 = jnp.sum(x * x, axis=(0, 1)).reshape(1, c)
+    def _chunk(i):
+        return x_ref[0, pl.ds(i * bh, bh)].astype(jnp.float32)  # [bh, W, C]
+
+    def _stats_body(i, carry):
+        s1, s2 = carry
+        xc = _chunk(i)
+        return s1 + jnp.sum(xc, axis=(0, 1)), s2 + jnp.sum(xc * xc, axis=(0, 1))
+
+    zero = jnp.zeros((c,), jnp.float32)
+    s1, s2 = jax.lax.fori_loop(0, n_chunks, _stats_body, (zero, zero))
+
+    # Spread per-group stats back onto member channels with a same-group
+    # averaging matmul (groups are contiguous lane ranges).
     ci = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // gsz
     cj = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // gsz
     avg = (ci == cj).astype(jnp.float32) / float(h * w * gsz)
-    mean = jax.lax.dot(s1, avg, preferred_element_type=jnp.float32)  # [1, C]
-    ex2 = jax.lax.dot(s2, avg, preferred_element_type=jnp.float32)
+    mean = jax.lax.dot(s1.reshape(1, c), avg, preferred_element_type=jnp.float32)
+    ex2 = jax.lax.dot(s2.reshape(1, c), avg, preferred_element_type=jnp.float32)
     # fast variance clipped at zero — matches flax.linen.GroupNorm /
     # models.layers.SGroupNorm numerics exactly
     var = jnp.maximum(ex2 - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
 
-    y = (x - mean[0][None, None, :]) * inv[0][None, None, :]
-    y = y * scale_ref[0, :][None, None, :] + bias_ref[0, :][None, None, :]
-    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+    sc = (inv[0] * scale_ref[0, :])[None, None, :]  # [1, 1, C]
+    bi = (bias_ref[0, :] - mean[0] * inv[0] * scale_ref[0, :])[None, None, :]
+
+    def _apply_body(i, _):
+        y = _chunk(i) * sc + bi
+        o_ref[0, pl.ds(i * bh, bh)] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, _apply_body, 0)
 
 
 def _gn_silu_forward(x, scale, bias, groups, eps, interpret=False):
@@ -70,7 +100,11 @@ def _gn_silu_forward(x, scale, bias, groups, eps, interpret=False):
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(x, scale.reshape(1, c), bias.reshape(1, c))
+    )(
+        x,
+        scale.astype(jnp.float32).reshape(1, c),
+        bias.astype(jnp.float32).reshape(1, c),
+    )
 
 
 def group_norm_silu_reference(x, scale, bias, groups, eps=1e-5):
@@ -80,13 +114,14 @@ def group_norm_silu_reference(x, scale, bias, groups, eps=1e-5):
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
     var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
     y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
-    y = y * scale[None, None, None, :] + bias[None, None, None, :]
+    y = y * scale[None, None, None, :].astype(jnp.float32)
+    y = y + bias[None, None, None, :].astype(jnp.float32)
     return (y * jax.nn.sigmoid(y)).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_group_norm_silu(x, scale, bias, groups: int, eps: float = 1e-5):
-    """One-pass GN+SiLU on TPU; falls back to the lax composition elsewhere."""
+    """One-HBM-pass GN+SiLU on TPU; exact lax composition elsewhere."""
     if _use_kernel(x, groups):
         return _gn_silu_forward(x, scale, bias, groups, eps)
     return group_norm_silu_reference(x, scale, bias, groups, eps)
@@ -95,13 +130,18 @@ def fused_group_norm_silu(x, scale, bias, groups: int, eps: float = 1e-5):
 def _use_kernel(x, groups) -> bool:
     try:
         b, h, w, c = x.shape
-        vmem_ok = h * w * c * 4 <= 12 * 1024 * 1024  # fp32 image block in VMEM
+        itemsize = jnp.dtype(x.dtype).itemsize
+        bh = min(_CHUNK_ROWS, h)
+        # in + out images resident in storage dtype, plus ~3 fp32 chunk
+        # temporaries, against the 16 MB scoped-VMEM limit (with margin).
+        peak = 2 * h * w * c * itemsize + 3 * bh * w * c * 4
         return (
             FUSED_GN
             and jax.default_backend() == "tpu"
             and c % groups == 0
             and c % 8 == 0
-            and vmem_ok
+            and h % bh == 0
+            and peak <= 14 * 1024 * 1024
         )
     except Exception:
         return False
