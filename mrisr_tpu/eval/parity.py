@@ -431,6 +431,12 @@ def run_parity(
         textured=textured, degrade_scale=degrade_scale, texture_mode=texture_mode,
     )
     report["phantom_cnn"] = {k: v for k, v in cnn_res.items() if k != "cnn_params"}
+    print(
+        f"[parity] stage-1 CNN: psnr={cnn_res['model']['psnr']:.2f} "
+        f"ssim={cnn_res['model']['ssim']:.4f} | bicubic "
+        f"psnr={cnn_res['bicubic_baseline']['psnr']:.2f}",
+        flush=True,
+    )
     report["phantom_resdiff"] = run_phantom_resdiff(
         cnn_res, resdiff_steps, res, batch=batch, n_train=n_train,
         lr_schedule=lr_schedule, textured=textured, degrade_scale=degrade_scale,
