@@ -133,6 +133,7 @@ def super_resolve_volume(
     from concurrent.futures import ThreadPoolExecutor
 
     window = int(os.environ.get("MRISR_VOLUME_ASYNC_WINDOW", "0"))
+    threads = os.environ.get("MRISR_VOLUME_THREADS", "0") == "1"
 
     def _fetch(sr) -> np.ndarray:
         return np.asarray(sr).astype(np.float32)
@@ -147,19 +148,37 @@ def super_resolve_volume(
         return batch
 
     starts = list(range(0, pad_to, batch_size))
-    with ThreadPoolExecutor(max_workers=1) as prep_ex, ThreadPoolExecutor(
-        max_workers=1
-    ) as fetch_ex:
-        preps = [prep_ex.submit(_prep_upload, s) for s in starts]
-        fetches: list = []
-        for s, fut in zip(starts, preps):
-            sr = pipeline.super_resolve(fut.result(), jax.random.fold_in(key, s), num_steps)
-            if window <= 0:
-                sr.block_until_ready()
-            fetches.append(fetch_ex.submit(_fetch, sr))
-            if window > 0 and len(fetches) >= window:
-                fetches[-window].result()
-        outs = [f.result() for f in fetches]
+    if threads or window > 0:
+        # Threaded upload/download overlap.  Measured NET NEGATIVE through
+        # the axon relay (37.2 s for a 128-slice volume vs ~13 s expected
+        # from the bench steady state): concurrent upload/download RPCs
+        # stall the in-flight chain instead of hiding behind it.  Kept
+        # behind MRISR_VOLUME_THREADS for A/B and for direct-attached
+        # (non-relay) deployments, where host/device overlap is the
+        # normal win.
+        with ThreadPoolExecutor(max_workers=1) as prep_ex, ThreadPoolExecutor(
+            max_workers=1
+        ) as fetch_ex:
+            preps = [prep_ex.submit(_prep_upload, s) for s in starts]
+            fetches: list = []
+            for s, fut in zip(starts, preps):
+                sr = pipeline.super_resolve(fut.result(), jax.random.fold_in(key, s), num_steps)
+                if window <= 0:
+                    sr.block_until_ready()
+                fetches.append(fetch_ex.submit(_fetch, sr))
+                if window > 0 and len(fetches) >= window:
+                    fetches[-window].result()
+            outs = [f.result() for f in fetches]
+    else:
+        # Strict serial: prep -> upload -> chain (blocked) -> download.
+        # Through the relay every concurrent RPC pattern measured slower
+        # (PERF.md round-6 volume A/B); the honest floor is the bench
+        # steady-state plus the per-chain transfer overhead.
+        outs = []
+        for s in starts:
+            sr = pipeline.super_resolve(_prep_upload(s), jax.random.fold_in(key, s), num_steps)
+            sr.block_until_ready()
+            outs.append(_fetch(sr))
     sr_all = np.concatenate(outs)[:n]
 
     vol = restack_slices(sr_all, shapes, axis)

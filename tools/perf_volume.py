@@ -43,22 +43,32 @@ def main():
         cnn, unet, resdiff_schedule(1000), cast(cnn_params), cast(unet_params)
     )
 
+    import os
+
     n_slices = 128
+    # Mode A/B in ONE process (the relay compile cache is per-process, so
+    # separate processes would pay the ~14 min compile per variant): warm
+    # once, then time each dispatch mode on a FRESH random volume (the
+    # relay memoizes repeated identical values).
+    modes = [("serial", {}), ("threads", {"MRISR_VOLUME_THREADS": "1"}),
+             ("async4", {"MRISR_VOLUME_ASYNC_WINDOW": "4"})]
     with tempfile.TemporaryDirectory() as td:
-        # warm the compiled program on one volume, then time a DIFFERENT
-        # random volume (the relay memoizes repeated identical values).
-        for name in ("warm", "timed"):
+        for name, env in [("warm", {})] + modes:
+            for k, v in env.items():
+                os.environ[k] = v
             vol = (RNG.random((220, 220, n_slices)) * 800).astype(np.float32)
             src = Path(td) / f"{name}.nii"
             write_nifti(src, vol, np.eye(4))
             t0 = time.perf_counter()
             super_resolve_volume(pipe, src, Path(td) / f"{name}_sr.nii", num_steps=50)
             dt = time.perf_counter() - t0
-    print(
-        f"volume: {n_slices} slices 256^2, 50-step DDIM -> {dt:6.2f} s "
-        f"({n_slices/dt:6.3f} slices/s end-to-end incl. NIfTI IO)",
-        flush=True,
-    )
+            for k in env:
+                os.environ.pop(k, None)
+            print(
+                f"volume[{name}]: {n_slices} slices 256^2, 50-step DDIM -> "
+                f"{dt:6.2f} s ({n_slices/dt:6.3f} slices/s end-to-end incl. NIfTI IO)",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
