@@ -94,15 +94,22 @@ def main():
 
     import os
 
-    if os.environ.get("MRISR_DECOMP_SKIP_BASE", "0") != "1":
-        time_variant("full")
+    # MRISR_DECOMP_ONLY=full,noca,level0,concat,nosgn,nonoise selects a
+    # subset (every variant pays its own 10-15 min relay compile).
+    only = os.environ.get("MRISR_DECOMP_ONLY", "")
+    want = lambda name: (not only) or name in only.split(",")
 
-        orig_ca = layers.HFGuidedCrossAttention.__call__
-        layers.HFGuidedCrossAttention.__call__ = (
-            lambda self, x, q, s2d=False, io_s2d=False, kv_pool=0: x
-        )
-        time_variant("no cross-attention")
-        layers.HFGuidedCrossAttention.__call__ = orig_ca
+    if os.environ.get("MRISR_DECOMP_SKIP_BASE", "0") != "1":
+        if want("full"):
+            time_variant("full")
+
+        if want("noca"):
+            orig_ca = layers.HFGuidedCrossAttention.__call__
+            layers.HFGuidedCrossAttention.__call__ = (
+                lambda self, x, q, s2d=False, io_s2d=False, kv_pool=0: x
+            )
+            time_variant("no cross-attention")
+            layers.HFGuidedCrossAttention.__call__ = orig_ca
 
     # --- level-0 conv FLOPs: SpaceConv 3x3 -> 1x1 (layouts unchanged) ------
     import flax.linen as nn
@@ -126,45 +133,49 @@ def main():
             k1 = kernel[:1, :1] if self.kernel_size > 1 else kernel
             return s2d_ops.s2d_conv(y, k1.astype(y.dtype), bias)
 
-    layers.SpaceConv = SpaceConv1x1
-    ru.SpaceConv = SpaceConv1x1
-    time_variant("level-0 convs 3x3->1x1")
-    layers.SpaceConv = orig_sc
-    ru.SpaceConv = orig_sc
+    if want("level0"):
+        layers.SpaceConv = SpaceConv1x1
+        ru.SpaceConv = SpaceConv1x1
+        time_variant("level-0 convs 3x3->1x1")
+        layers.SpaceConv = orig_sc
+        ru.SpaceConv = orig_sc
 
     # --- concat_s2d order-preserving reshapes vs plain concat (timing-only)
-    orig_cc = s2d_ops.concat_s2d
-    plain_cc = lambda *ts: jnp.concatenate(ts, axis=-1)
-    s2d_ops.concat_s2d = plain_cc
-    layers.concat_s2d = plain_cc
-    ru.concat_s2d = plain_cc
-    import mrisr_tpu.pipelines.resdiff as rp
+    if want("concat"):
+        orig_cc = s2d_ops.concat_s2d
+        plain_cc = lambda *ts: jnp.concatenate(ts, axis=-1)
+        s2d_ops.concat_s2d = plain_cc
+        layers.concat_s2d = plain_cc
+        ru.concat_s2d = plain_cc
+        import mrisr_tpu.pipelines.resdiff as rp
 
-    rp.concat_s2d = plain_cc
-    time_variant("plain concat (timing-only)")
-    s2d_ops.concat_s2d = orig_cc
-    layers.concat_s2d = orig_cc
-    ru.concat_s2d = orig_cc
-    rp.concat_s2d = orig_cc
+        rp.concat_s2d = plain_cc
+        time_variant("plain concat (timing-only)")
+        s2d_ops.concat_s2d = orig_cc
+        layers.concat_s2d = orig_cc
+        ru.concat_s2d = orig_cc
+        rp.concat_s2d = orig_cc
 
     # --- s2d GroupNorm -----------------------------------------------------
-    orig_gn = layers.SGroupNorm.__call__
-    layers.SGroupNorm.__call__ = lambda self, y: y
-    time_variant("no s2d groupnorm")
-    layers.SGroupNorm.__call__ = orig_gn
+    if want("nosgn"):
+        orig_gn = layers.SGroupNorm.__call__
+        layers.SGroupNorm.__call__ = lambda self, y, fuse_silu=False: y
+        time_variant("no s2d groupnorm")
+        layers.SGroupNorm.__call__ = orig_gn
 
     # --- FD splitter per-step noise branch ---------------------------------
-    orig_fd = ru.FDInfoSpliter._call_s2d
+    if want("nonoise"):
+        orig_fd = ru.FDInfoSpliter._call_s2d
 
-    def fd_cheap(self, x, noise_emb, static):
-        cnn_x = x[..., 0::2]
-        xt = x[..., 1::2]
-        x_lf, x_hf = static
-        return s2d_ops.concat_s2d(xt, cnn_x, xt, x_lf, x_hf)
+        def fd_cheap(self, x, noise_emb, static):
+            cnn_x = x[..., 0::2]
+            xt = x[..., 1::2]
+            x_lf, x_hf = static
+            return s2d_ops.concat_s2d(xt, cnn_x, xt, x_lf, x_hf)
 
-    ru.FDInfoSpliter._call_s2d = fd_cheap
-    time_variant("no per-step noise branch")
-    ru.FDInfoSpliter._call_s2d = orig_fd
+        ru.FDInfoSpliter._call_s2d = fd_cheap
+        time_variant("no per-step noise branch")
+        ru.FDInfoSpliter._call_s2d = orig_fd
 
 
 if __name__ == "__main__" and not __import__("os").environ.get("MRISR_DECOMP_KERNEL_PROBE"):
