@@ -222,6 +222,9 @@ def main(argv=None):
                         "eval/parity.py::_phantom_batches)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="run a 50-step sampling eval every N resdiff steps")
+    p.add_argument("--ckpt", default=None,
+                   help="save EMA+train params here at every eval (crash "
+                        "insurance for multi-hour resdiff runs)")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -306,6 +309,7 @@ def main(argv=None):
             skip_mnist=args.skip_mnist,
             texture_mode=args.texture_mode,
             eval_every=args.eval_every,
+            ckpt_path=args.ckpt,
         )
         for k in ("mnist_regression", "phantom_cnn", "phantom_resdiff", "fastmri_cnn"):
             if k in report:

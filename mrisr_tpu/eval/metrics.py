@@ -50,8 +50,17 @@ def _filter2d_valid(x: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
     kw = k1d.reshape(1, 1, 1, -1)
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
     x = x.reshape(b * c, 1, h, w)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn)
+    # precision=HIGHEST: on TPU the MXU's default conv precision is bf16,
+    # which corrupts the windowed variance terms (observed SSIM 1.02 at
+    # 23 dB on the phantom workload — evidence-grade metrics must be fp32).
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return x.reshape(b, c, x.shape[-2], x.shape[-1])
 
 
@@ -123,7 +132,8 @@ def _laplacian_conv(x: jnp.ndarray) -> jnp.ndarray:
     k = jnp.asarray(_LAPLACIAN_3x3).reshape(1, 1, 3, 3)
     dn = jax.lax.conv_dimension_numbers((b * c, 1, h, w), k.shape, ("NCHW", "OIHW", "NCHW"))
     y = jax.lax.conv_general_dilated(
-        x.reshape(b * c, 1, h, w), k, (1, 1), "SAME", dimension_numbers=dn
+        x.reshape(b * c, 1, h, w), k, (1, 1), "SAME", dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,  # fp32 on the TPU MXU (see ssim)
     )
     return y.reshape(b, c, h, w)
 

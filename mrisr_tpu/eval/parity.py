@@ -258,6 +258,7 @@ def run_phantom_resdiff(
     ca_kv_pool: int = 0,
     texture_mode: str = "recoverable",
     eval_every: int = 0,
+    ckpt_path: str | None = None,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -316,6 +317,16 @@ def run_phantom_resdiff(
                 f"50-step psnr={mm['psnr']:.2f} ssim={mm['ssim']:.4f}",
                 flush=True,
             )
+            if ckpt_path:
+                # Crash insurance for multi-hour runs: EMA + train params.
+                from flax import serialization
+
+                Path(ckpt_path).write_bytes(
+                    serialization.to_bytes(
+                        {"params": state.params, "ema": state.ema_params,
+                         "step": i + 1}
+                    )
+                )
     # Rebind with the TRAINED EMA params (the pre-loop pipe instance only
     # serves super_resolve_with, which takes params as traced arguments).
     pipe = ResDiffPipeline(cnn, unet, sched, cnn_params, state.ema_params)
@@ -421,6 +432,7 @@ def run_parity(
     skip_mnist: bool = False,
     texture_mode: str = "recoverable",
     eval_every: int = 0,
+    ckpt_path: str | None = None,
 ) -> dict:
     t0 = time.time()
     report: dict = {"anchors": REFERENCE_ANCHORS}
@@ -441,6 +453,7 @@ def run_parity(
         cnn_res, resdiff_steps, res, batch=batch, n_train=n_train,
         lr_schedule=lr_schedule, textured=textured, degrade_scale=degrade_scale,
         ca_kv_pool=ca_kv_pool, texture_mode=texture_mode, eval_every=eval_every,
+        ckpt_path=ckpt_path,
     )
     report["config"] = {
         "n_train": n_train, "lr_schedule": lr_schedule, "res": res, "batch": batch,

@@ -21,6 +21,7 @@ from mrisr_tpu.ops.space_to_depth import (
     concat_s2d,
     depth_to_space,
     s2d_conv,
+    s2d_conv_v2,
     s2d_downsample_conv,
     s2d_to_s2d_downsample_conv,
     space_to_depth,
@@ -35,6 +36,9 @@ GN_EPS = 1e-5
 # Fused Pallas GN+SiLU inside the s2d ConvBlocks (one HBM pass; exact —
 # ops/groupnorm.py).  Gated off pending the chain-level A/B on chip.
 S2D_FUSED_GN = os.environ.get("MRISR_S2D_FUSED_GN", "0") == "1"
+# Phase-shifted 2x2 lowering of the 3x3 s2d convs (16/9x nominal FLOPs vs
+# 4x — ops/space_to_depth.py::s2d_conv_v2).  Gated for the chain-level A/B.
+S2D_CONV_V2 = os.environ.get("MRISR_S2D_CONV_V2", "0") == "1"
 
 
 class SinusoidalTimeEmbedding(nn.Module):
@@ -145,6 +149,10 @@ class SpaceConv(nn.Module):
             if self.use_bias
             else None
         )
+        if self.kernel_size == 3 and S2D_CONV_V2:
+            # Phase-shifted 2x2 lowering: 16/9x nominal FLOPs vs 4x for the
+            # standard 3x3 s2d kernel (ops/space_to_depth.py::s2d_conv_v2).
+            return s2d_conv_v2(y, kernel.astype(y.dtype), bias)
         return s2d_conv(y, kernel.astype(y.dtype), bias)
 
 

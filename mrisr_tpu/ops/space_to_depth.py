@@ -107,6 +107,87 @@ def s2d_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return w2
 
 
+def s2d_phase_shift(y: jnp.ndarray) -> jnp.ndarray:
+    """Phase-(1,1)-shifted s2d view: ``z[i, j, (c,u,v)] = x[2i-1+u, 2j-1+v]``.
+
+    ``y`` is the standard s2d form of ``x`` (c-major); the result has one
+    extra block row/col (``[B, h2+1, w2+1, 4C]``, zero padded at the plain
+    borders) whose 2x2 blocks sit on the HALF-ODD grid.  Why this exists:
+    a plain stride-1 3x3 conv's receptive field for the output block at
+    ``(i, j)`` is the 4x4 plain window starting at ``(2i-1, 2j-1)`` — NOT
+    aligned to the standard s2d blocks (it straddles 3x3 of them, which is
+    what gives :func:`s2d_conv_kernel` its 25%-dense / 4x-FLOP lowering),
+    but EXACTLY the 2x2 window of phase-shifted blocks at ``(i, j)``.  A
+    2x2 VALID conv over this view therefore computes the same output with a
+    56%-dense kernel — 16/9 x nominal FLOPs instead of 4x
+    (:func:`s2d_conv_v2`).  Each plain pixel appears exactly once across
+    the four shifted sub-position channels, so the view is one
+    pad/slice/restack pass over the tensor.
+    """
+    b, h2, w2, c4 = y.shape
+    c = c4 // 4
+    yr = jnp.pad(
+        y.reshape(b, h2, w2, c, 2, 2),
+        ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)),
+    )
+    # z sub-position (u', v') pulls from source sub-position (1-u', 1-v')
+    # at the block shifted up/left when u'/v' is 0.
+    z = jnp.stack(
+        [
+            yr[:, 0 : h2 + 1, 0 : w2 + 1, :, 1, 1],
+            yr[:, 0 : h2 + 1, 1 : w2 + 2, :, 1, 0],
+            yr[:, 1 : h2 + 2, 0 : w2 + 1, :, 0, 1],
+            yr[:, 1 : h2 + 2, 1 : w2 + 2, :, 0, 0],
+        ],
+        axis=-1,
+    )  # [B, h2+1, w2+1, C, 4] — c-major like the standard form
+    return z.reshape(b, h2 + 1, w2 + 1, 4 * c)
+
+
+def s2d_conv_v2_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a stride-1 SAME 3x3 kernel for the phase-shifted s2d view.
+
+    ``conv(x, w, SAME) == d2s(s2d_conv_v2(s2d(x), w))``.  Output sub-position
+    ``r`` tap ``a`` reads plain row ``2i + r + a - 1 = 2(i + di) - 1 + u``
+    with ``di = (r+a)//2``, ``u = (r+a)%2`` — a unique (di, u) slot per
+    (r, a), so the 2x2 kernel over phase-shifted blocks is 56% dense
+    (9 taps x 4 output sub-positions into 2*2*4*4 = 64 slots): 16/9 x the
+    plain conv's FLOPs at full 128-lane packing, vs 4x for the standard
+    3x3 s2d lowering (PERF.md round 7).
+    """
+    ks, ks2_, cin, cout = w.shape
+    assert ks == 3 and ks2_ == 3, f"v2 lowering is for 3x3 kernels, got {w.shape}"
+    w2 = jnp.zeros((2, 2, 4 * cin, 4 * cout), w.dtype)
+    for a in range(3):
+        for b_ in range(3):
+            for r in (0, 1):
+                for s in (0, 1):
+                    di, u = (r + a) // 2, (r + a) % 2
+                    dj, v = (s + b_) // 2, (s + b_) % 2
+                    w2 = w2.at[di, dj, (u * 2 + v) :: 4, (r * 2 + s) :: 4].set(
+                        w[a, b_]
+                    )
+    return w2
+
+
+def s2d_conv_v2(
+    y: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Stride-1 SAME 3x3 conv on an s2d tensor via the phase-shifted view.
+
+    Mathematically identical to :func:`s2d_conv` (same plain kernel ``w``,
+    same s2d-form output) at 16/9 x nominal FLOPs instead of 4x.
+    """
+    z = s2d_phase_shift(y)
+    w2 = s2d_conv_v2_kernel(w).astype(y.dtype)
+    out = jax.lax.conv_general_dilated(
+        z, w2, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    if bias is not None:
+        out = out + tile4_vec(bias).astype(y.dtype)
+    return out
+
+
 def s2d_downsample_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """Rearrange the SR3 stride-2 pad-1 3x3 downsample kernel for s2d input.
 

@@ -14,7 +14,9 @@ from mrisr_tpu.ops.space_to_depth import (
     concat_s2d,
     depth_to_space,
     s2d_conv,
+    s2d_conv_v2,
     s2d_downsample_conv,
+    s2d_phase_shift,
     s2d_to_s2d_downsample_conv,
     space_to_depth,
     tile4,
@@ -54,6 +56,51 @@ class TestOps:
         got = depth_to_space(s2d_conv(space_to_depth(x), w, b))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_phase_shift_contains_each_pixel_once(self):
+        x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 12, 3))
+        z = s2d_phase_shift(space_to_depth(x))
+        b, h3, w3, c4 = z.shape
+        assert (h3, w3, c4) == (5, 7, 12)
+        # z[i, j, (c, u, v)] = x[2i-1+u, 2j-1+v] (zero at the borders)
+        zr = np.asarray(z).reshape(2, h3, w3, 3, 2, 2)
+        xn = np.asarray(x)
+        for i in range(h3):
+            for u in (0, 1):
+                p = 2 * i - 1 + u
+                for j in range(w3):
+                    for v in (0, 1):
+                        q = 2 * j - 1 + v
+                        want = (
+                            xn[:, p, q]
+                            if 0 <= p < 8 and 0 <= q < 12
+                            else np.zeros((2, 3), np.float32)
+                        )
+                        np.testing.assert_allclose(zr[:, i, j, :, u, v], want)
+
+    @pytest.mark.parametrize("cin,cout", [(3, 7), (8, 8), (5, 1)])
+    def test_stride1_conv_v2(self, cin, cout):
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 12, cin))
+        w = jax.random.normal(jax.random.PRNGKey(4), (3, 3, cin, cout))
+        b = jax.random.normal(jax.random.PRNGKey(5), (cout,))
+        want = _conv(x, w) + b
+        got = depth_to_space(s2d_conv_v2(space_to_depth(x), w, b))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_stride1_conv_v2_gradients(self):
+        x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 3))
+        w = jax.random.normal(jax.random.PRNGKey(7), (3, 3, 3, 5))
+
+        def f_plain(w_, x_):
+            return jnp.sum(_conv(x_, w_) ** 2)
+
+        def f_v2(w_, x_):
+            return jnp.sum(depth_to_space(s2d_conv_v2(space_to_depth(x_), w_)) ** 2)
+
+        gw_p, gx_p = jax.grad(f_plain, argnums=(0, 1))(w, x)
+        gw_v, gx_v = jax.grad(f_v2, argnums=(0, 1))(w, x)
+        np.testing.assert_allclose(gw_v, gw_p, atol=1e-4)
+        np.testing.assert_allclose(gx_v, gx_p, atol=1e-4)
+
     def test_downsample_conv_exits_to_normal_space(self):
         x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 12, 3))
         w = jax.random.normal(jax.random.PRNGKey(7), (3, 3, 3, 7))
@@ -91,6 +138,15 @@ class TestUNetParity:
     def test_forward_matches(self, tiny_unet_pair):
         plain, s2d, params, x, gamma = tiny_unet_pair
         o1 = plain.apply(params, x, gamma)
+        o2 = s2d.apply(params, x, gamma)
+        np.testing.assert_allclose(o1, o2, atol=5e-5)
+
+    def test_forward_matches_conv_v2(self, tiny_unet_pair, monkeypatch):
+        import mrisr_tpu.models.layers as layers_mod
+
+        plain, s2d, params, x, gamma = tiny_unet_pair
+        o1 = plain.apply(params, x, gamma)
+        monkeypatch.setattr(layers_mod, "S2D_CONV_V2", True)
         o2 = s2d.apply(params, x, gamma)
         np.testing.assert_allclose(o1, o2, atol=5e-5)
 
