@@ -40,6 +40,12 @@ def main():
         help="fast serving profile: K/V pool factor at the big HF-CA sites "
         "(0 = exact reference semantics, the default headline)",
     )
+    ap.add_argument(
+        "--chains", type=int, default=1,
+        help="chains per dispatch: G>1 scans G sequential bs-sized chains "
+        "inside ONE jitted program (the volume-serving dispatch pattern), "
+        "amortizing per-dispatch host/RPC overhead G-fold",
+    )
     args = ap.parse_args()
 
     import jax
@@ -71,21 +77,34 @@ def main():
     cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dtype), t)
     pipe = ResDiffPipeline(cnn, unet, sched, cast(cnn_params), cast(unet_params))
 
+    G = max(args.chains, 1)
+
     def fresh():
-        """Host-entropy LR batch + PRNG key the relay has never seen.
+        """Host-entropy LR input + PRNG key(s) the relay has never seen.
 
         Inputs are device_put and BLOCKED before use, so timed regions
         measure chain execution, not host->device upload through the
         relay tunnel."""
-        lr = jax.device_put(jnp.asarray(rng.standard_normal(shape), dtype))
-        k = jax.random.PRNGKey(int(rng.integers(2**62)))
+        if G > 1:
+            lr = jax.device_put(jnp.asarray(rng.standard_normal((G,) + shape), dtype))
+            k = jax.vmap(jax.random.PRNGKey)(rng.integers(2**62, size=G))
+        else:
+            lr = jax.device_put(jnp.asarray(rng.standard_normal(shape), dtype))
+            k = jax.random.PRNGKey(int(rng.integers(2**62)))
         lr.block_until_ready()
         k.block_until_ready()
         return lr, k
 
+    def run(lr, k):
+        if G > 1:
+            return pipe.super_resolve_many(
+                pipe.cnn_params, pipe.unet_params, lr, k, num_steps=args.steps
+            )
+        return pipe.super_resolve(lr, k, num_steps=args.steps)
+
     # Warmup / compile
     lr, k = fresh()
-    out = pipe.super_resolve(lr, k, num_steps=args.steps)
+    out = run(lr, k)
     out.block_until_ready()
 
     if args.profile:
@@ -93,7 +112,7 @@ def main():
 
         lr, k = fresh()
         with trace(args.profile):
-            out = pipe.super_resolve(lr, k, num_steps=args.steps)
+            out = run(lr, k)
             out.block_until_ready()
 
     # Headline: blocked per-repetition chains over fresh pre-staged inputs.
@@ -105,13 +124,13 @@ def main():
     per_rep_ms = []
     for lr, k in (fresh() for _ in range(args.repeats)):
         t1 = time.perf_counter()
-        out = pipe.super_resolve(lr, k, num_steps=args.steps)
+        out = run(lr, k)
         out.block_until_ready()
         per_rep_ms.append((time.perf_counter() - t1) * 1e3)
 
     n_chips = jax.local_device_count()
     elapsed = sum(per_rep_ms) / 1e3
-    slices_per_sec_per_chip = args.batch * args.repeats / elapsed / n_chips
+    slices_per_sec_per_chip = args.batch * G * args.repeats / elapsed / n_chips
     print(
         json.dumps(
             {
@@ -119,6 +138,7 @@ def main():
                     f"ResDiff SR slices/sec/chip ({args.steps}-step DDIM "
                     f"{args.size}x{args.size}, bs={args.batch}, {args.dtype}"
                     + (f", fast kv_pool={args.fast}" if args.fast > 1 else "")
+                    + (f", {G} chains/dispatch" if G > 1 else "")
                     + ")"
                 ),
                 "value": round(float(slices_per_sec_per_chip), 3),

@@ -158,6 +158,9 @@ def main(argv=None):
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--ddim-steps", type=int, default=50)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--chains", type=int, default=None,
+                   help="chains per device dispatch (amortizes per-dispatch "
+                        "overhead; default env MRISR_VOLUME_CHAINS or 1)")
 
     p = sub.add_parser("evaluate", help="folder-vs-folder MRI metrics")
     p.add_argument("--gen", required=True)
@@ -793,6 +796,7 @@ def _sr_volume(args):
         resolution=args.resolution,
         batch_size=args.batch,
         num_steps=args.ddim_steps,
+        chain_group=args.chains,
     )
     print(f"wrote {args.output} shape={out.shape}")
     return 0

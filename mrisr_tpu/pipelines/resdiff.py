@@ -45,8 +45,7 @@ class ResDiffPipeline:
     def stage1(self, lr: jnp.ndarray) -> jnp.ndarray:
         return self.cnn.apply(self.cnn_params, lr)
 
-    @functools.partial(jax.jit, static_argnames=("self", "num_steps", "spacing"))
-    def super_resolve_with(
+    def _super_resolve_impl(
         self,
         cnn_params: Any,
         unet_params: Any,
@@ -55,10 +54,10 @@ class ResDiffPipeline:
         num_steps: int | None = 50,
         spacing: str = "trailing",
     ) -> jnp.ndarray:
-        """LR ``[B, H, W, 1]`` -> SR ``[B, H, W, 1]``, fully fused.
+        """LR ``[B, H, W, 1]`` -> SR ``[B, H, W, 1]`` (trace-time body).
 
-        Params are traced arguments, so swapping weights (EMA validation
-        snapshots, restored checkpoints) reuses the compiled program.
+        Jitted as :meth:`super_resolve_with`; also inlined per chain by
+        :meth:`super_resolve_many`'s scan.
         """
         cnn_sr = self.cnn.apply(cnn_params, lr)
 
@@ -110,6 +109,55 @@ class ResDiffPipeline:
             self.sched, eps_fn, x_T, key, num_steps=num_steps, spacing=spacing
         )
         return cnn_sr + residual
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps", "spacing"))
+    def super_resolve_with(
+        self,
+        cnn_params: Any,
+        unet_params: Any,
+        lr: jnp.ndarray,
+        key: jax.Array,
+        num_steps: int | None = 50,
+        spacing: str = "trailing",
+    ) -> jnp.ndarray:
+        """LR ``[B, H, W, 1]`` -> SR ``[B, H, W, 1]``, fully fused.
+
+        Params are traced arguments, so swapping weights (EMA validation
+        snapshots, restored checkpoints) reuses the compiled program.
+        """
+        return self._super_resolve_impl(
+            cnn_params, unet_params, lr, key, num_steps, spacing
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps", "spacing"))
+    def super_resolve_many(
+        self,
+        cnn_params: Any,
+        unet_params: Any,
+        lr_stack: jnp.ndarray,
+        keys: jax.Array,
+        num_steps: int | None = 50,
+        spacing: str = "trailing",
+    ) -> jnp.ndarray:
+        """G sequential SR chains in ONE program: ``[G, B, H, W, 1]`` in/out.
+
+        ``lax.scan`` over the chain axis runs the chains back-to-back
+        device-side, so one host dispatch serves G batches.  This is the
+        production volume-serving pattern (a 128-slice volume is 16 bs=8
+        chains): per-dispatch host/RPC overhead — measured ~10-60 ms through
+        the axon relay (PERF.md round-7) — amortizes G-fold while each
+        chain's math is identical to :meth:`super_resolve_with` (same body,
+        per-chain keys).  Memory stays flat: XLA keeps one chain's live set
+        at a time plus the stacked IO.
+        """
+        def body(carry, xs):
+            lr, k = xs
+            return carry, self._super_resolve_impl(
+                cnn_params, unet_params, lr, k, num_steps, spacing
+            )
+
+        _, out = jax.lax.scan(body, (), (lr_stack, keys))
+        return out
 
     def super_resolve(
         self,

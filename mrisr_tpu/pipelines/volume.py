@@ -74,6 +74,7 @@ def super_resolve_volume(
     mesh=None,
     seed: int = 0,
     dtype=None,
+    chain_group: int | None = None,
 ) -> NiftiImage:
     """End-to-end driver.  ``pipeline.super_resolve`` runs per sharded batch.
 
@@ -81,6 +82,13 @@ def super_resolve_volume(
     a bf16 pipeline is fed bf16 slices — feeding the fp32 host slices
     directly would silently promote the whole sampling chain to fp32
     (slower, and the fp32 flash tiles need smaller blocks).
+
+    ``chain_group=G`` (default env ``MRISR_VOLUME_CHAINS``, else 1) dispatches
+    G chains per device call via ``pipeline.super_resolve_many`` — one upload,
+    one program, one download per G chains, amortizing the fixed per-dispatch
+    host/RPC overhead (PERF.md round-7).  The slice count is padded to a
+    multiple of G*batch_size by repeating the last slice (one wasted chain at
+    worst) so a single compiled program serves the whole volume.
     """
     img = to_ras(read_nifti(nifti_path))
     vol = img.data
@@ -134,6 +142,14 @@ def super_resolve_volume(
 
     window = int(os.environ.get("MRISR_VOLUME_ASYNC_WINDOW", "0"))
     threads = os.environ.get("MRISR_VOLUME_THREADS", "0") == "1"
+    if chain_group is None:
+        chain_group = int(os.environ.get("MRISR_VOLUME_CHAINS", "1"))
+    grouped = (
+        chain_group > 1
+        and hasattr(pipeline, "super_resolve_many")
+        and not threads
+        and window <= 0
+    )
 
     def _fetch(sr) -> np.ndarray:
         return np.asarray(sr).astype(np.float32)
@@ -169,6 +185,33 @@ def super_resolve_volume(
                 if window > 0 and len(fetches) >= window:
                     fetches[-window].result()
             outs = [f.result() for f in fetches]
+    elif grouped:
+        # Grouped dispatch: G chains per program via super_resolve_many.
+        # Pad the start list to a multiple of G (repeat the last start) so
+        # one compiled program serves every group — a wasted chain is ~0.5 s;
+        # a second compile through the relay is minutes.
+        G = chain_group
+        padded = starts + [starts[-1]] * (-len(starts) % G)
+        outs_map: dict[int, np.ndarray] = {}
+        for gi in range(0, len(padded), G):
+            grp = padded[gi : gi + G]
+            stack = jnp.asarray(np.stack([_prep_batch(s) for s in grp]), dtype)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                stack = jax.device_put(
+                    stack, NamedSharding(mesh, P(None, "data", None, None, None))
+                )
+            keys = jnp.stack([jax.random.fold_in(key, s) for s in grp])
+            stack.block_until_ready()
+            sr = pipeline.super_resolve_many(
+                pipeline.cnn_params, pipeline.unet_params, stack, keys, num_steps
+            )
+            sr.block_until_ready()
+            host = _fetch(sr)
+            for g, s in enumerate(grp):
+                outs_map.setdefault(s, host[g])
+        outs = [outs_map[s] for s in starts]
     else:
         # Strict serial: prep -> upload -> chain (blocked) -> download.
         # Through the relay every concurrent RPC pattern measured slower

@@ -108,6 +108,42 @@ def test_cli_build_index(tmp_path, rng):
     assert len(json.loads((tmp_path / "i.json").read_text())) == 1
 
 
+def test_volume_pipeline_grouped_chains_match_serial(tmp_path, key):
+    """chain_group=G dispatch == serial dispatch, slice for slice.
+
+    Grouped dispatch exists to amortize per-dispatch overhead
+    (PERF.md round-7); the per-chain keys are the same ``fold_in(key, s)``
+    as the serial path, so outputs must agree bit-for-bit including the
+    padded remainder group."""
+    import jax.numpy as jnp
+
+    from mrisr_tpu.data.nifti import write_nifti
+    from mrisr_tpu.diffusion.schedules import resdiff_schedule
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
+    from mrisr_tpu.pipelines.volume import super_resolve_volume
+
+    rng = np.random.default_rng(0)
+    vol = (rng.random((20, 18, 6)) * 800).astype(np.float32)
+    src = tmp_path / "in.nii.gz"
+    write_nifti(src, vol)
+
+    cnn = SimpleCNN()
+    unet = ResDiffUNet(image_size=32, inner_channel=8, norm_groups=4)
+    k1, k2 = jax.random.split(key)
+    pipe = ResDiffPipeline(
+        cnn, unet, resdiff_schedule(100),
+        cnn.init(k1, jnp.zeros((1, 32, 32, 1))),
+        unet.init(k2, jnp.zeros((1, 32, 32, 2)), jnp.array([0.5])),
+    )
+    common = dict(resolution=32, batch_size=2, num_steps=4, clip=(0, 800))
+    serial = super_resolve_volume(pipe, src, None, chain_group=1, **common)
+    # 6 slices / bs=2 = 3 chains; G=2 pads to 4 (one repeated chain).
+    grouped = super_resolve_volume(pipe, src, None, chain_group=2, **common)
+    np.testing.assert_allclose(grouped.data, serial.data, atol=1e-5, rtol=1e-5)
+
+
 def test_volume_pipeline_mesh_sharded(tmp_path, key):
     """Volume inference with batches sharded over the 8-device mesh."""
     import jax

@@ -94,6 +94,39 @@ def test_resdiff_pipeline_end_to_end(key):
     assert np.isfinite(np.asarray(sr)).all()
 
 
+def test_resdiff_pipeline_many_chains_match_single(key):
+    """super_resolve_many(G chains, one program) == per-chain super_resolve.
+
+    The scan body is the same trace as the single-chain jit, so with the
+    same per-chain keys the stacked outputs must agree to float tolerance
+    (the multi-chain dispatch exists to amortize per-dispatch overhead,
+    not to change any math — PERF.md round-7)."""
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+    from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
+
+    cnn = SimpleCNN()
+    unet = ResDiffUNet(image_size=32, inner_channel=8, norm_groups=4)
+    sched = resdiff_schedule(100)
+    k1, k2, k3 = jax.random.split(key, 3)
+    cnn_params = cnn.init(k1, jnp.zeros((1, 32, 32, 1)))
+    unet_params = unet.init(k2, jnp.zeros((1, 32, 32, 2)), jnp.array([0.5]))
+    pipe = ResDiffPipeline(cnn, unet, sched, cnn_params, unet_params)
+
+    G, B = 3, 2
+    lr_stack = jax.random.uniform(k3, (G, B, 32, 32, 1))
+    keys = jnp.stack([jax.random.PRNGKey(100 + g) for g in range(G)])
+    many = pipe.super_resolve_many(
+        cnn_params, unet_params, lr_stack, keys, num_steps=4
+    )
+    assert many.shape == (G, B, 32, 32, 1)
+    for g in range(G):
+        single = pipe.super_resolve(lr_stack[g], keys[g], num_steps=4)
+        np.testing.assert_allclose(
+            np.asarray(many[g]), np.asarray(single), atol=1e-5, rtol=1e-5
+        )
+
+
 def test_train_steps_reduce_loss(key):
     """A few CNN train steps on a fixed batch must reduce the loss."""
     import optax

@@ -50,20 +50,36 @@ def main():
     # separate processes would pay the ~14 min compile per variant): warm
     # once, then time each dispatch mode on a FRESH random volume (the
     # relay memoizes repeated identical values).
-    modes = [("serial", {}), ("threads", {"MRISR_VOLUME_THREADS": "1"}),
-             ("async4", {"MRISR_VOLUME_ASYNC_WINDOW": "4"})]
+    modes = [("serial", {}), ("chains4", {"MRISR_VOLUME_CHAINS": "4"}),
+             ("chains8", {"MRISR_VOLUME_CHAINS": "8"})]
+    if os.environ.get("MRISR_PERF_VOLUME_LEGACY", "0") == "1":
+        # Threaded/async variants measured NET NEGATIVE through the relay
+        # (PERF.md round 6); kept for A/B on direct-attached deployments.
+        modes += [("threads", {"MRISR_VOLUME_THREADS": "1"}),
+                  ("async4", {"MRISR_VOLUME_ASYNC_WINDOW": "4"})]
     with tempfile.TemporaryDirectory() as td:
-        for name, env in [("warm", {})] + modes:
+        def run_once(tag, env):
             for k, v in env.items():
                 os.environ[k] = v
-            vol = (RNG.random((220, 220, n_slices)) * 800).astype(np.float32)
-            src = Path(td) / f"{name}.nii"
-            write_nifti(src, vol, np.eye(4))
-            t0 = time.perf_counter()
-            super_resolve_volume(pipe, src, Path(td) / f"{name}_sr.nii", num_steps=50)
-            dt = time.perf_counter() - t0
-            for k in env:
-                os.environ.pop(k, None)
+            try:
+                vol = (RNG.random((220, 220, n_slices)) * 800).astype(np.float32)
+                src = Path(td) / f"{tag}.nii"
+                write_nifti(src, vol, np.eye(4))
+                t0 = time.perf_counter()
+                super_resolve_volume(
+                    pipe, src, Path(td) / f"{tag}_sr.nii", num_steps=50
+                )
+                return time.perf_counter() - t0
+            finally:
+                for k in env:
+                    os.environ.pop(k, None)
+
+        for name, env in modes:
+            # Each chain-group size compiles its own program, so every mode
+            # needs its own warm pass (compile through the relay is minutes;
+            # folding it into the timed run would swamp the comparison).
+            run_once(f"warm_{name}", env)
+            dt = run_once(name, env)
             print(
                 f"volume[{name}]: {n_slices} slices 256^2, 50-step DDIM -> "
                 f"{dt:6.2f} s ({n_slices/dt:6.3f} slices/s end-to-end incl. NIfTI IO)",
