@@ -228,6 +228,14 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None,
                    help="save EMA+train params here at every eval (crash "
                         "insurance for multi-hour resdiff runs)")
+    p.add_argument("--resume-ckpt", default=None,
+                   help="resume resdiff training from a --ckpt file "
+                        "(params + EMA + step)")
+    p.add_argument("--inner-channel", type=int, default=16,
+                   help="resdiff UNet width for the phantom leg")
+    p.add_argument("--ema-decay", type=float, default=0.99,
+                   help="EMA decay for the phantom resdiff leg "
+                        "(use 0.999+ for runs >20k steps)")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -313,6 +321,9 @@ def main(argv=None):
             texture_mode=args.texture_mode,
             eval_every=args.eval_every,
             ckpt_path=args.ckpt,
+            resume_ckpt=args.resume_ckpt,
+            inner_channel=args.inner_channel,
+            ema_decay=args.ema_decay,
         )
         for k in ("mnist_regression", "phantom_cnn", "phantom_resdiff", "fastmri_cnn"):
             if k in report:

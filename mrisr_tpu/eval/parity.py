@@ -221,15 +221,27 @@ def run_phantom_cnn(
     cnn = SimpleCNN()
     params = cnn.init(key, jnp.zeros((1, res, res, 1)))
     state = create_train_state(cnn.apply, params, make_optimizer(1e-4))
-    step = make_cnn_train_step(cnn)
     lr_all, hr_all = _phantom_batches(
         n_train, res, textured=textured, degrade_scale=degrade_scale,
         texture_mode=texture_mode,
     )
-    for i in range(steps):
-        idx = np.random.default_rng(i).integers(0, len(lr_all), batch)
-        b = {"lr": jnp.asarray(lr_all[idx]), "hr": jnp.asarray(hr_all[idx])}
-        state, m = step(state, b, jax.random.fold_in(key, i))
+    # Scanned dispatch (train/steps.py::make_cnn_train_many): K steps per
+    # jitted program over the device-resident set — same batch-index
+    # sequence as the historical per-step loop, ~K-fold fewer relay RPCs.
+    from mrisr_tpu.train.steps import make_cnn_train_many
+
+    many = make_cnn_train_many(cnn)
+    lr_dev, hr_dev = jnp.asarray(lr_all), jnp.asarray(hr_all)
+    chunk = min(1000, steps)
+    steps = (steps // chunk) * chunk
+    for s0 in range(0, steps, chunk):
+        idx = np.stack(
+            [
+                np.random.default_rng(i).integers(0, len(lr_all), batch)
+                for i in range(s0, s0 + chunk)
+            ]
+        )
+        state, losses = many(state, lr_dev, hr_dev, jnp.asarray(idx))
 
     lr_te, hr_te = _phantom_batches(
         32, res, seed0=1000, textured=textured, degrade_scale=degrade_scale,
@@ -259,6 +271,8 @@ def run_phantom_resdiff(
     texture_mode: str = "recoverable",
     eval_every: int = 0,
     ckpt_path: str | None = None,
+    resume_ckpt: str | None = None,
+    inner_channel: int = 16,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -268,13 +282,14 @@ def run_phantom_resdiff(
     from mrisr_tpu.models.simple_cnn import SimpleCNN
     from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
     from mrisr_tpu.train.state import create_train_state, make_optimizer
-    from mrisr_tpu.train.steps import make_resdiff_train_step
+    from mrisr_tpu.train.steps import make_resdiff_train_many
 
     key = jax.random.PRNGKey(1)
     cnn = SimpleCNN()
     cnn_params = cnn_result["cnn_params"]
     unet = ResDiffUNet(
-        image_size=res, inner_channel=16, norm_groups=8, ca_kv_pool=ca_kv_pool
+        image_size=res, inner_channel=inner_channel, norm_groups=8,
+        ca_kv_pool=ca_kv_pool,
     )
     params = unet.init(key, jnp.zeros((1, res, res, 2)), jnp.array([0.5]))
     sched = resdiff_schedule(1000)
@@ -287,7 +302,6 @@ def run_phantom_resdiff(
     else:
         opt = make_optimizer(2e-4)
     state = create_train_state(unet.apply, params, opt, ema_decay=ema_decay)
-    step = make_resdiff_train_step(unet, sched)
 
     lr_all, hr_all = _phantom_batches(
         n_train, res, textured=textured, degrade_scale=degrade_scale,
@@ -299,12 +313,43 @@ def run_phantom_resdiff(
     )
     cnn_apply = jax.jit(cnn.apply)
     pipe = ResDiffPipeline(cnn, unet, sched, cnn_params, state.ema_params)
-    for i in range(steps):
-        idx = np.random.default_rng(10_000 + i).integers(0, len(lr_all), batch)
-        lr = jnp.asarray(lr_all[idx])
-        sr = cnn_apply(cnn_params, lr)
-        state, m = step(state, {"sr": sr, "hr": jnp.asarray(hr_all[idx])}, jax.random.fold_in(key, i))
-        if eval_every and (i + 1) % eval_every == 0:
+
+    start = 0
+    if resume_ckpt and Path(resume_ckpt).exists():
+        from flax import serialization
+
+        blob = serialization.from_bytes(
+            {"params": state.params, "ema": state.ema_params, "step": 0},
+            Path(resume_ckpt).read_bytes(),
+        )
+        state = state.replace(
+            params=blob["params"], ema_params=blob["ema"],
+            step=jnp.asarray(blob["step"]),
+        )
+        start = int(blob["step"])
+        print(f"[resdiff] resumed from {resume_ckpt} at step {start}", flush=True)
+
+    # Scanned training dispatch (train/steps.py::make_resdiff_train_many):
+    # the stage-1 SR of the whole train set is chain-invariant, so it is
+    # computed ONCE and the scan gathers (sr, hr) batches on device.  Batch
+    # indices and per-step keys reproduce the historical per-step loop.
+    many = make_resdiff_train_many(unet, sched)
+    sr_dev = cnn_apply(cnn_params, jnp.asarray(lr_all))
+    hr_dev = jnp.asarray(hr_all)
+    chunk = eval_every if eval_every else min(1000, max(steps, 1))
+    steps = (steps // chunk) * chunk if steps >= chunk else 0
+    for s0 in range(start, steps, chunk):
+        idx = np.stack(
+            [
+                np.random.default_rng(10_000 + i).integers(0, len(lr_all), batch)
+                for i in range(s0, s0 + chunk)
+            ]
+        )
+        state, losses = many(
+            state, sr_dev, hr_dev, jnp.asarray(idx),
+            jnp.arange(s0, s0 + chunk), key,
+        )
+        if eval_every:
             out = np.asarray(
                 pipe.super_resolve_with(
                     cnn_params, state.ema_params, jnp.asarray(lr_te[:8]),
@@ -313,7 +358,7 @@ def run_phantom_resdiff(
             )
             mm = _metrics(out, hr_te[:8])
             print(
-                f"[resdiff {i + 1}/{steps}] loss={float(m['loss']):.5f} "
+                f"[resdiff {s0 + chunk}/{steps}] loss={float(losses[-1]):.5f} "
                 f"50-step psnr={mm['psnr']:.2f} ssim={mm['ssim']:.4f}",
                 flush=True,
             )
@@ -324,7 +369,7 @@ def run_phantom_resdiff(
                 Path(ckpt_path).write_bytes(
                     serialization.to_bytes(
                         {"params": state.params, "ema": state.ema_params,
-                         "step": i + 1}
+                         "step": s0 + chunk}
                     )
                 )
     # Rebind with the TRAINED EMA params (the pre-loop pipe instance only
@@ -363,7 +408,8 @@ def run_phantom_resdiff(
         fast = {}
         for p in (2, 4, 8):
             unet_p = ResDiffUNet(
-                image_size=res, inner_channel=16, norm_groups=8, ca_kv_pool=p
+                image_size=res, inner_channel=inner_channel, norm_groups=8,
+                ca_kv_pool=p,
             )
             pipe_p = ResDiffPipeline(cnn, unet_p, sched, cnn_params, state.ema_params)
             out = np.asarray(
@@ -433,6 +479,9 @@ def run_parity(
     texture_mode: str = "recoverable",
     eval_every: int = 0,
     ckpt_path: str | None = None,
+    resume_ckpt: str | None = None,
+    inner_channel: int = 16,
+    ema_decay: float = 0.99,
 ) -> dict:
     t0 = time.time()
     report: dict = {"anchors": REFERENCE_ANCHORS}
@@ -453,12 +502,14 @@ def run_parity(
         cnn_res, resdiff_steps, res, batch=batch, n_train=n_train,
         lr_schedule=lr_schedule, textured=textured, degrade_scale=degrade_scale,
         ca_kv_pool=ca_kv_pool, texture_mode=texture_mode, eval_every=eval_every,
-        ckpt_path=ckpt_path,
+        ckpt_path=ckpt_path, resume_ckpt=resume_ckpt,
+        inner_channel=inner_channel, ema_decay=ema_decay,
     )
     report["config"] = {
         "n_train": n_train, "lr_schedule": lr_schedule, "res": res, "batch": batch,
         "textured": textured, "degrade_scale": degrade_scale,
         "ca_kv_pool": ca_kv_pool, "texture_mode": texture_mode,
+        "inner_channel": inner_channel, "ema_decay": ema_decay,
     }
     if index_json:
         report["fastmri_cnn"] = run_fastmri_cnn(index_json)

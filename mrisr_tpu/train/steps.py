@@ -95,6 +95,101 @@ def make_resdiff_train_step(
     return step
 
 
+def make_resdiff_train_many(
+    unet, sched: Schedule, policy: Policy | None = None, remat: bool = False
+) -> Callable:
+    """Scanned multi-step variant of :func:`make_resdiff_train_step`.
+
+    ``many(state, sr_all, hr_all, idx, step_ids, key) -> (state, losses)``
+    runs ``K = idx.shape[0]`` optimizer steps inside ONE jitted
+    ``lax.scan`` program over a device-resident training set.  Per-step
+    math is identical to the single-step factory — batch ``i`` is the
+    gather ``(sr_all[idx[i]], hr_all[idx[i]])`` and its PRNG key is
+    ``fold_in(key, step_ids[i])``, the same key the per-step loop derives
+    — so a scanned run reproduces the loop's training trajectory.
+
+    Motivation (PERF.md "Environment caveat"): through the axon relay
+    every dispatch carries ~50-80 ms of RPC overhead, so per-step
+    training is RPC-bound (~83 ms/step measured for the round-4 parity
+    runs).  Scanning K steps per dispatch amortizes the overhead K-fold —
+    the same trick as ``ResDiffPipeline.super_resolve_many`` for serving.
+    """
+    policy = policy or Policy()
+
+    def apply_unet(params, inp, gamma, k_drop):
+        return unet.apply(
+            params, inp, gamma, deterministic=False, rngs={"dropout": k_drop}
+        )
+
+    if remat:
+        apply_unet = jax.checkpoint(apply_unet)
+
+    @jax.jit
+    def many(
+        state: TrainState,
+        sr_all: jnp.ndarray,
+        hr_all: jnp.ndarray,
+        idx: jnp.ndarray,
+        step_ids: jnp.ndarray,
+        key: jax.Array,
+    ):
+        def body(st, per):
+            ix, sid = per
+            sr, hr = sr_all[ix], hr_all[ix]
+            B = hr.shape[0]
+            k_t, k_g, k_eps, k_drop = jax.random.split(
+                jax.random.fold_in(key, sid), 4
+            )
+            t = jax.random.randint(k_t, (B,), 0, sched.num_timesteps)
+            gamma = sr3.sample_gamma(sched, t, k_g)
+            eps = jax.random.normal(k_eps, hr.shape, hr.dtype)
+            x_t = sr3.q_sample_gamma(hr - sr, gamma, eps)
+
+            def loss_fn(params):
+                p = policy.cast_to_compute(params)
+                inp = policy.cast_to_compute(jnp.concatenate([sr, x_t], axis=-1))
+                eps_pred = apply_unet(p, inp, gamma, k_drop)
+                return l2(eps_pred.astype(jnp.float32), eps.astype(jnp.float32))
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return st.apply_gradients(grads=grads), loss
+
+        state, losses = jax.lax.scan(body, state, (idx, step_ids))
+        return state, losses
+
+    return many
+
+
+def make_cnn_train_many(model, policy: Policy | None = None) -> Callable:
+    """Scanned multi-step variant of :func:`make_cnn_train_step` (see
+    :func:`make_resdiff_train_many` for the dispatch-amortization
+    rationale)."""
+    policy = policy or Policy()
+
+    @jax.jit
+    def many(
+        state: TrainState,
+        lr_all: jnp.ndarray,
+        hr_all: jnp.ndarray,
+        idx: jnp.ndarray,
+    ):
+        def body(st, ix):
+            def loss_fn(params):
+                p = policy.cast_to_compute(params)
+                pred = model.apply(p, policy.cast_to_compute(lr_all[ix]))
+                return image_compare_loss(
+                    pred.astype(jnp.float32), hr_all[ix].astype(jnp.float32)
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return st.apply_gradients(grads=grads), loss
+
+        state, losses = jax.lax.scan(body, state, idx)
+        return state, losses
+
+    return many
+
+
 def make_mnist_regression_step(model) -> Callable:
     @jax.jit
     def step(state: TrainState, batch: dict, key: jax.Array):
