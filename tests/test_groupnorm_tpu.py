@@ -38,7 +38,11 @@ assert _use_kernel(x, groups), "VMEM gate must accept the s2d shape"
 got = np.asarray(_gn_silu_forward(x, scale, bias, groups, 1e-5).astype(jnp.float32))
 want = np.asarray(group_norm_silu_reference(x, scale, bias, groups, 1e-5).astype(jnp.float32))
 err = np.abs(got - want).max()
-assert err < 0.02, f"fused GN+SiLU vs reference mismatch on TPU: {err}"
+# Outputs are bf16 (storage dtype): activations reach |y|~8 where one bf16
+# ulp is 0.0625, so kernel-vs-XLA rounding legitimately differs by 1 ulp
+# (observed 0.03125 = ulp at |y|~4 on chip, 2026-08-19).  Gate at 1 ulp of
+# the observed activation range, not an absolute fp32-ish epsilon.
+assert err <= 0.0625, f"fused GN+SiLU vs reference mismatch on TPU: {err}"
 print("fused GN+SiLU on-chip ok, max err", err)
 """
 

@@ -39,8 +39,13 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, 256, 256, 2), dtype), jnp.array([0.5])
     )
     cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dtype), t)
-    pipe = ResDiffPipeline(
-        cnn, unet, resdiff_schedule(1000), cast(cnn_params), cast(unet_params)
+    sched = resdiff_schedule(1000)
+    pipe = ResDiffPipeline(cnn, unet, sched, cast(cnn_params), cast(unet_params))
+    # Fast serving profile: same param tree, kv-pooled HF-CA (measured
+    # fidelity-equivalent within 0.07 dB — PARITY_r05/r06 fast_profiles).
+    unet_fast = ResDiffUNet(image_size=256, ca_kv_pool=4)
+    pipe_fast = ResDiffPipeline(
+        cnn, unet_fast, sched, pipe.cnn_params, pipe.unet_params
     )
 
     import os
@@ -51,14 +56,15 @@ def main():
     # once, then time each dispatch mode on a FRESH random volume (the
     # relay memoizes repeated identical values).
     modes = [("serial", {}), ("chains4", {"MRISR_VOLUME_CHAINS": "4"}),
-             ("chains8", {"MRISR_VOLUME_CHAINS": "8"})]
+             ("chains8", {"MRISR_VOLUME_CHAINS": "8"}),
+             ("fast4_chains8", {"MRISR_VOLUME_CHAINS": "8"})]
     if os.environ.get("MRISR_PERF_VOLUME_LEGACY", "0") == "1":
         # Threaded/async variants measured NET NEGATIVE through the relay
         # (PERF.md round 6); kept for A/B on direct-attached deployments.
         modes += [("threads", {"MRISR_VOLUME_THREADS": "1"}),
                   ("async4", {"MRISR_VOLUME_ASYNC_WINDOW": "4"})]
     with tempfile.TemporaryDirectory() as td:
-        def run_once(tag, env):
+        def run_once(tag, env, p=None):
             for k, v in env.items():
                 os.environ[k] = v
             try:
@@ -67,7 +73,7 @@ def main():
                 write_nifti(src, vol, np.eye(4))
                 t0 = time.perf_counter()
                 super_resolve_volume(
-                    pipe, src, Path(td) / f"{tag}_sr.nii", num_steps=50
+                    p or pipe, src, Path(td) / f"{tag}_sr.nii", num_steps=50
                 )
                 return time.perf_counter() - t0
             finally:
@@ -75,11 +81,12 @@ def main():
                     os.environ.pop(k, None)
 
         for name, env in modes:
+            p = pipe_fast if name.startswith("fast") else pipe
             # Each chain-group size compiles its own program, so every mode
             # needs its own warm pass (compile through the relay is minutes;
             # folding it into the timed run would swamp the comparison).
-            run_once(f"warm_{name}", env)
-            dt = run_once(name, env)
+            run_once(f"warm_{name}", env, p)
+            dt = run_once(name, env, p)
             print(
                 f"volume[{name}]: {n_slices} slices 256^2, 50-step DDIM -> "
                 f"{dt:6.2f} s ({n_slices/dt:6.3f} slices/s end-to-end incl. NIfTI IO)",
