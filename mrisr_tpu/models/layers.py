@@ -21,6 +21,7 @@ from mrisr_tpu.ops.space_to_depth import (
     concat_s2d,
     depth_to_space,
     s2d_conv,
+    s2d_conv_kernel,
     s2d_conv_v2,
     s2d_downsample_conv,
     s2d_to_s2d_downsample_conv,
@@ -135,6 +136,7 @@ class SpaceConv(nn.Module):
     features: int
     kernel_size: int = 3
     use_bias: bool = True
+    int8: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
@@ -149,6 +151,16 @@ class SpaceConv(nn.Module):
             if self.use_bias
             else None
         )
+        if self.int8:
+            # Serving profile: same params, dynamic int8 execution on the
+            # s2d-rearranged kernel (per-out-channel scales computed on the
+            # rearranged [kh, kw, 4Cin, 4Cout] kernel directly, so no layout
+            # knowledge is needed — ops/quant.py).
+            from mrisr_tpu.ops.quant import int8_conv
+
+            w2 = s2d_conv_kernel(kernel)
+            b2 = tile4_vec(bias) if bias is not None else None
+            return int8_conv(y, w2, b2)
         if self.kernel_size == 3 and S2D_CONV_V2:
             # Phase-shifted 2x2 lowering: 16/9x nominal FLOPs vs 4x for the
             # standard 3x3 s2d kernel (ops/space_to_depth.py::s2d_conv_v2).
@@ -203,6 +215,30 @@ class SGroupNorm(nn.Module):
         return (norm * sc + bi).astype(y.dtype)
 
 
+class PlainConvInt8(nn.Module):
+    """Stride-1 SAME conv executed in dynamic int8 (ops/quant.py).
+
+    Param-compatible with ``nn.Conv`` (same ``kernel``/``bias`` names and
+    shapes, same lecun-normal init stream), so checkpoints are shared with
+    the exact path — instantiate with the plain conv's ``name``.
+    """
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        from mrisr_tpu.ops.quant import int8_conv
+
+        return int8_conv(x, kernel, bias)
+
+
 class ConvBlock(nn.Module):
     """GroupNorm -> swish -> (dropout) -> 3x3 conv (SR3 'Block').
 
@@ -220,6 +256,11 @@ class ConvBlock(nn.Module):
     groups: int = 32
     dropout: float = 0.0
     s2d: bool = False
+    # Serving profile: run the 3x3 conv in dynamic int8 on the MXU (2x bf16
+    # peak on v5e) — same param tree, quantization at apply time
+    # (ops/quant.py).  Fidelity goes through the parity harness like every
+    # other serving profile (ca_kv_pool).
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -238,7 +279,9 @@ class ConvBlock(nn.Module):
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         if self.s2d:
-            return SpaceConv(self.features, 3, name="Conv_0")(h)
+            return SpaceConv(self.features, 3, name="Conv_0", int8=self.int8)(h)
+        if self.int8:
+            return PlainConvInt8(self.features, 3, name="Conv_0")(h)
         return nn.Conv(self.features, (3, 3), padding="SAME", name="Conv_0")(h)
 
 
@@ -249,20 +292,21 @@ class ResnetBlock(nn.Module):
     groups: int = 32
     dropout: float = 0.0
     s2d: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, emb: jnp.ndarray | None = None, deterministic: bool = True
     ) -> jnp.ndarray:
-        h = ConvBlock(self.features, self.groups, s2d=self.s2d)(x)
+        h = ConvBlock(self.features, self.groups, s2d=self.s2d, int8=self.int8)(x)
         if emb is not None:
             d = nn.Dense(self.features)(emb)
             if self.s2d:
                 d = tile4_vec(d)
             h = h + d[:, None, None, :]
-        h = ConvBlock(self.features, self.groups, self.dropout, s2d=self.s2d)(
-            h, deterministic
-        )
+        h = ConvBlock(
+            self.features, self.groups, self.dropout, s2d=self.s2d, int8=self.int8
+        )(h, deterministic)
         in_ch = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         if in_ch != self.features:
             if self.s2d:
@@ -295,13 +339,14 @@ class ResnetBlockWithAttn(nn.Module):
     dropout: float = 0.0
     with_attn: bool = False
     s2d: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, emb=None, deterministic: bool = True):
         assert not (self.s2d and self.with_attn), "attention blocks never run in s2d space"
-        x = ResnetBlock(self.features, self.groups, self.dropout, s2d=self.s2d)(
-            x, emb, deterministic
-        )
+        x = ResnetBlock(
+            self.features, self.groups, self.dropout, s2d=self.s2d, int8=self.int8
+        )(x, emb, deterministic)
         if self.with_attn:
             x = SelfAttention2D(self.groups)(x)
         return x

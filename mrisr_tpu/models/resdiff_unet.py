@@ -186,6 +186,15 @@ class ResDiffUNet(nn.Module):
     # serves both profiles.  Fidelity validated head-to-head through the
     # parity harness — see PARITY fast-profile evidence + PERF.md round 5.
     ca_kv_pool: int = 0
+    # INT8 SERVING PROFILE (opt-in; False = exact reference semantics).
+    # Runs the interior ResnetBlock 3x3 convs in dynamic int8 on the MXU
+    # (2x the bf16 rate on v5e) — per-tensor activation scale +
+    # per-out-channel kernel scales, quantized at apply time (ops/quant.py),
+    # SAME param tree, so one checkpoint serves all profiles.  conv_in, the
+    # final ConvBlock, 1x1 shortcuts, and the resample convs stay exact
+    # (output-adjacent or too small to matter).  Composes with ca_kv_pool.
+    # Fidelity goes through the parity harness like every serving profile.
+    conv_int8: bool = False
 
     def setup(self):
         self.fd_spliter = FDInfoSpliter(self.inner_channel, self.image_size)
@@ -300,7 +309,8 @@ class ResDiffUNet(nn.Module):
             lvl_s2d = lvl_s2d_flags[i]
             for _ in range(self.res_blocks):
                 h = ResnetBlockWithAttn(
-                    ch, self.norm_groups, self.dropout, use_attn, s2d=lvl_s2d
+                    ch, self.norm_groups, self.dropout, use_attn, s2d=lvl_s2d,
+                    int8=self.conv_int8,
                 )(h, emb, deterministic)
                 feats.append(h)
             pre = ch
@@ -322,12 +332,12 @@ class ResDiffUNet(nn.Module):
                 )
                 feats.append(ca)
 
-        h = ResnetBlockWithAttn(pre, self.norm_groups, self.dropout, True)(
-            h, emb, deterministic
-        )
-        h = ResnetBlockWithAttn(pre, self.norm_groups, self.dropout, False)(
-            h, emb, deterministic
-        )
+        h = ResnetBlockWithAttn(
+            pre, self.norm_groups, self.dropout, True, int8=self.conv_int8
+        )(h, emb, deterministic)
+        h = ResnetBlockWithAttn(
+            pre, self.norm_groups, self.dropout, False, int8=self.conv_int8
+        )(h, emb, deterministic)
 
         for i, mult in enumerate(reversed(self.channel_mults)):
             ch = self.inner_channel * mult
@@ -341,7 +351,8 @@ class ResDiffUNet(nn.Module):
                 else:
                     h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlockWithAttn(
-                    ch, self.norm_groups, self.dropout, use_attn, s2d=lvl_s2d
+                    ch, self.norm_groups, self.dropout, use_attn, s2d=lvl_s2d,
+                    int8=self.conv_int8,
                 )(h, emb, deterministic)
             if i != n_levels - 1:
                 # The upsample re-ENTERS s2d space for free from a plain
