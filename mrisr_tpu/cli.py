@@ -236,6 +236,21 @@ def main(argv=None):
     p.add_argument("--ema-decay", type=float, default=0.99,
                    help="EMA decay for the phantom resdiff leg "
                         "(use 0.999+ for runs >20k steps)")
+    p.add_argument("--n-test", type=int, default=16,
+                   help="held-out phantom evaluation set size (use a "
+                        "multiple of --batch; >=64 for decision-grade "
+                        "profile-fidelity CIs)")
+    p.add_argument("--sample-seeds", default="2",
+                   help="comma-separated sampler seeds; each profile is "
+                        "sampled n_test x len(seeds) times with paired noise")
+    p.add_argument("--chunk-steps", type=int, default=0,
+                   help="scanned-training steps per TPU dispatch (0 = "
+                        "follow --eval-every; keep each dispatch under "
+                        "~60-90s of chip time through the relay)")
+    p.add_argument("--sample-steps", default="10,50,250,1000",
+                   help="comma-separated sampling-chain lengths for the "
+                        "final sweep (at 256^2 drop 1000: an 8-chain "
+                        "1000-step dispatch exceeds the relay limit)")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -324,6 +339,10 @@ def main(argv=None):
             resume_ckpt=args.resume_ckpt,
             inner_channel=args.inner_channel,
             ema_decay=args.ema_decay,
+            n_test=args.n_test,
+            sample_seeds=tuple(int(s) for s in args.sample_seeds.split(",")),
+            chunk_steps=args.chunk_steps,
+            sample_steps=tuple(int(s) for s in args.sample_steps.split(",")),
         )
         for k in ("mnist_regression", "phantom_cnn", "phantom_resdiff", "fastmri_cnn"):
             if k in report:

@@ -47,6 +47,48 @@ def _metrics(sr: np.ndarray, hr: np.ndarray) -> dict:
     }
 
 
+def _metrics_per_image(sr: np.ndarray, hr: np.ndarray) -> dict:
+    """Per-image metric arrays (lists of floats), NHWC inputs."""
+    from mrisr_tpu.eval.metrics import compute_mri_metrics_per_image
+
+    p, s, n, h = compute_mri_metrics_per_image(
+        np.clip(sr, 0, 1).transpose(0, 3, 1, 2), np.clip(hr, 0, 1).transpose(0, 3, 1, 2)
+    )
+    return {
+        "psnr": np.asarray(p).astype(float).tolist(),
+        "ssim": np.asarray(s).astype(float).tolist(),
+        "nmse": np.asarray(n).astype(float).tolist(),
+        "hfen": np.asarray(h).astype(float).tolist(),
+    }
+
+
+def _paired_delta_stats(exact: np.ndarray, other: np.ndarray) -> dict:
+    """Paired per-sample delta statistics with a 95% t-CI.
+
+    ``delta = exact - other`` per paired sample (positive = ``other`` worse),
+    so for PSNR the machine-checkable 0.1 dB criterion is
+    ``ci95[1] < 0.1`` — the upper confidence bound on the mean fidelity
+    LOSS of a serving profile vs exact reference semantics (VERDICT
+    round-2 items 1/7: a point estimate of 0.07 dB cannot be
+    distinguished from 0.12 without the interval).
+    """
+    from scipy import stats
+
+    delta = np.asarray(exact, np.float64) - np.asarray(other, np.float64)
+    n = delta.size
+    mean = float(delta.mean())
+    sd = float(delta.std(ddof=1)) if n > 1 else 0.0
+    half = float(stats.t.ppf(0.975, n - 1) * sd / np.sqrt(n)) if n > 1 else 0.0
+    return {
+        "n": int(n),
+        "mean": mean,
+        "std": sd,
+        "ci95": [mean - half, mean + half],
+        "max": float(delta.max()),
+        "min": float(delta.min()),
+    }
+
+
 def _phantom_batches(
     n: int,
     res: int,
@@ -273,7 +315,20 @@ def run_phantom_resdiff(
     ckpt_path: str | None = None,
     resume_ckpt: str | None = None,
     inner_channel: int = 16,
+    n_test: int = 16,
+    sample_seeds: tuple = (2,),
+    chunk_steps: int = 0,
+    profile_steps: int = 50,
 ) -> dict:
+    """Stage-2 training + profile fidelity evaluation.
+
+    ``n_test`` held-out images x ``len(sample_seeds)`` sampler seeds feed
+    the paired per-image statistics (VERDICT round-2 item 7).
+    ``chunk_steps`` bounds the per-dispatch scanned-training length
+    independently of the ``eval_every`` cadence — through the axon relay a
+    dispatch must stay under ~60-90 s of chip time (PERF.md round-8), which
+    at 256^2 means ~250-500 train steps even when evals are sparser.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -308,7 +363,7 @@ def run_phantom_resdiff(
         texture_mode=texture_mode,
     )
     lr_te, hr_te = _phantom_batches(
-        16, res, seed0=1000, textured=textured, degrade_scale=degrade_scale,
+        n_test, res, seed0=1000, textured=textured, degrade_scale=degrade_scale,
         texture_mode=texture_mode,
     )
     cnn_apply = jax.jit(cnn.apply)
@@ -318,14 +373,30 @@ def run_phantom_resdiff(
     if resume_ckpt and Path(resume_ckpt).exists():
         from flax import serialization
 
-        blob = serialization.from_bytes(
-            {"params": state.params, "ema": state.ema_params, "step": 0},
-            Path(resume_ckpt).read_bytes(),
-        )
-        state = state.replace(
-            params=blob["params"], ema_params=blob["ema"],
-            step=jnp.asarray(blob["step"]),
-        )
+        raw = Path(resume_ckpt).read_bytes()
+        # Round-3 checkpoints carry the optimizer state so a crash-resume
+        # neither resets Adam moments nor restarts the cosine LR schedule
+        # (both live in opt_state, not in state.step).  Fall back to the
+        # round-2 {params, ema, step} layout for older artifacts.
+        try:
+            blob = serialization.from_bytes(
+                {"params": state.params, "ema": state.ema_params,
+                 "opt_state": state.opt_state, "step": 0},
+                raw,
+            )
+            state = state.replace(
+                params=blob["params"], ema_params=blob["ema"],
+                opt_state=blob["opt_state"], step=jnp.asarray(blob["step"]),
+            )
+        except Exception:
+            blob = serialization.from_bytes(
+                {"params": state.params, "ema": state.ema_params, "step": 0},
+                raw,
+            )
+            state = state.replace(
+                params=blob["params"], ema_params=blob["ema"],
+                step=jnp.asarray(blob["step"]),
+            )
         start = int(blob["step"])
         print(f"[resdiff] resumed from {resume_ckpt} at step {start}", flush=True)
 
@@ -336,7 +407,12 @@ def run_phantom_resdiff(
     many = make_resdiff_train_many(unet, sched)
     sr_dev = cnn_apply(cnn_params, jnp.asarray(lr_all))
     hr_dev = jnp.asarray(hr_all)
-    chunk = eval_every if eval_every else min(1000, max(steps, 1))
+    chunk = chunk_steps or (eval_every if eval_every else min(1000, max(steps, 1)))
+    if eval_every and eval_every % chunk:
+        raise ValueError(
+            f"eval_every ({eval_every}) must be a multiple of the dispatch "
+            f"chunk ({chunk})"
+        )
     steps = (steps // chunk) * chunk if steps >= chunk else 0
     for s0 in range(start, steps, chunk):
         idx = np.stack(
@@ -349,7 +425,8 @@ def run_phantom_resdiff(
             state, sr_dev, hr_dev, jnp.asarray(idx),
             jnp.arange(s0, s0 + chunk), key,
         )
-        if eval_every:
+        done = s0 + chunk
+        if eval_every and (done % eval_every == 0 or done == steps):
             out = np.asarray(
                 pipe.super_resolve_with(
                     cnn_params, state.ema_params, jnp.asarray(lr_te[:8]),
@@ -358,32 +435,62 @@ def run_phantom_resdiff(
             )
             mm = _metrics(out, hr_te[:8])
             print(
-                f"[resdiff {s0 + chunk}/{steps}] loss={float(losses[-1]):.5f} "
+                f"[resdiff {done}/{steps}] loss={float(losses[-1]):.5f} "
                 f"50-step psnr={mm['psnr']:.2f} ssim={mm['ssim']:.4f}",
                 flush=True,
             )
             if ckpt_path:
-                # Crash insurance for multi-hour runs: EMA + train params.
+                # Crash insurance for multi-hour runs: EMA + train params +
+                # full optimizer state, written atomically (tmp + rename) so
+                # a crash mid-write never corrupts the resume point.
                 from flax import serialization
 
-                Path(ckpt_path).write_bytes(
+                tmp = Path(str(ckpt_path) + ".tmp")
+                tmp.write_bytes(
                     serialization.to_bytes(
                         {"params": state.params, "ema": state.ema_params,
-                         "step": s0 + chunk}
+                         "opt_state": state.opt_state, "step": done}
                     )
                 )
+                tmp.replace(ckpt_path)
     # Rebind with the TRAINED EMA params (the pre-loop pipe instance only
     # serves super_resolve_with, which takes params as traced arguments).
     pipe = ResDiffPipeline(cnn, unet, sched, cnn_params, state.ema_params)
+
+    def _sample(unet_obj, seed: int, nsteps: int) -> np.ndarray:
+        """Sample the whole held-out set through one serving profile.
+
+        One dispatch; when ``n_test`` is a multiple of ``batch`` the set
+        runs as G sequential bs-sized chains via ``super_resolve_many`` —
+        the production dispatch shape, and it keeps a single chain's live
+        set on device at a time (64 test images at 256^2 would otherwise
+        blow past sensible batch sizes).  The per-chain keys depend only on
+        (seed, chain index), so every profile sees IDENTICAL noise
+        realizations per (image, seed) — the paired-statistics requirement.
+        """
+        p = ResDiffPipeline(cnn, unet_obj, sched, cnn_params, state.ema_params)
+        lr_dev_te = jnp.asarray(lr_te)
+        if n_test > batch and n_test % batch == 0:
+            G = n_test // batch
+            stack = lr_dev_te.reshape((G, batch) + lr_te.shape[1:])
+            keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                jax.random.PRNGKey(seed), jnp.arange(G)
+            )
+            out = p.super_resolve_many(
+                cnn_params, state.ema_params, stack, keys, num_steps=nsteps
+            )
+            return np.asarray(out).reshape(lr_te.shape)
+        return np.asarray(
+            p.super_resolve(lr_dev_te, jax.random.PRNGKey(seed), num_steps=nsteps)
+        )
+
+    seed0 = int(sample_seeds[0])
     # Sampling-chain-length sweep: the reference validates with the FULL
     # 1000-step chain (cell 46 swaps the noise schedule to 'val'); short
     # DDIM chains trade fidelity for speed.
     by_steps = {}
     for k in sample_steps:
-        out = np.asarray(
-            pipe.super_resolve(jnp.asarray(lr_te), jax.random.PRNGKey(2), num_steps=int(k))
-        )
-        by_steps[str(k)] = _metrics(out, hr_te)
+        by_steps[str(k)] = _metrics(_sample(unet, seed0, int(k)), hr_te)
     best = max(by_steps.values(), key=lambda m: m["psnr"])
     stage1 = np.asarray(cnn_apply(cnn_params, jnp.asarray(lr_te)))
     # Headline = the 50-step chain (the throughput-benched configuration —
@@ -393,32 +500,80 @@ def run_phantom_resdiff(
     report = {
         "steps": steps,
         "sample_steps": list(sample_steps),
+        "n_test": n_test,
+        "sample_seeds": [int(s) for s in sample_seeds],
         "model": headline,
         "best_chain": best,
         "by_sample_steps": by_steps,
         "stage1_cnn": _metrics(stage1, hr_te),
         "bicubic_baseline": _metrics(lr_te, hr_te),
     }
-    # Fast-profile head-to-head (VERDICT round-1 item 2): the kv-pooled
-    # serving profile shares the exact model's param tree, so the SAME
-    # trained checkpoint samples through both; report the 50-step chain
-    # per pool factor.  Only meaningful when a CA site reaches the
-    # >=4096-token gate (res >= 128) and training itself was exact.
+    # Serving-profile head-to-head (VERDICT round-2 items 1/4/7): the
+    # kv-pooled profiles share the exact model's param tree, so the SAME
+    # trained checkpoint samples through all of them.  Every profile is
+    # sampled over the full held-out set x every sampler seed with noise
+    # paired to the exact profile's, and reported with per-image metric
+    # arrays, paired exact-vs-profile deltas, a 95% CI on the mean PSNR
+    # loss, and the machine-checkable ``within_0p1db`` verdict
+    # (= CI upper bound < 0.1 dB).  Only meaningful when a CA site reaches
+    # the pooling gate (res >= 128) and training itself was exact.
     if ca_kv_pool == 0 and res >= 128:
-        fast = {}
-        for p in (2, 4, 8):
+        # (name, pool, min_tokens): "site-selective" pools ONLY the
+        # >4096-token sites (at 256^2: the dominant 16384-token res-128
+        # site; the 4096-token res-64 site stays exact) — the middle
+        # profile of VERDICT round-2 item 4.  At res < 256 it equals
+        # exact semantics (tested), so it is only swept at res >= 256.
+        profiles = [("kv_pool_2", 2, 4096), ("kv_pool_4", 4, 4096), ("kv_pool_8", 8, 4096)]
+        if res >= 256:
+            profiles += [("selective_4", 4, 8192), ("selective_8", 8, 8192)]
+
+        def eval_profile(unet_obj) -> dict:
+            per_seed = [
+                _metrics_per_image(_sample(unet_obj, int(s), profile_steps), hr_te)
+                for s in sample_seeds
+            ]
+            # Pool (image, seed) pairs into flat arrays, seed-major.
+            flat = {
+                m: [v for ps in per_seed for v in ps[m]]
+                for m in ("psnr", "ssim", "nmse", "hfen")
+            }
+            return {
+                "mean": {m: float(np.mean(flat[m])) for m in flat},
+                "per_image": flat,
+            }
+
+        exact_eval = eval_profile(unet)
+        prof_report = {"sample_steps": profile_steps, "exact": exact_eval}
+        for name, p, min_tok in profiles:
             unet_p = ResDiffUNet(
                 image_size=res, inner_channel=inner_channel, norm_groups=8,
-                ca_kv_pool=p,
+                ca_kv_pool=p, ca_kv_pool_min_tokens=min_tok,
             )
-            pipe_p = ResDiffPipeline(cnn, unet_p, sched, cnn_params, state.ema_params)
-            out = np.asarray(
-                pipe_p.super_resolve(
-                    jnp.asarray(lr_te), jax.random.PRNGKey(2), num_steps=50
-                )
+            ev = eval_profile(unet_p)
+            psnr_stats = _paired_delta_stats(
+                exact_eval["per_image"]["psnr"], ev["per_image"]["psnr"]
             )
-            fast[str(p)] = _metrics(out, hr_te)
-        report["fast_profiles_50step"] = fast
+            ev["delta_vs_exact"] = {
+                "psnr": psnr_stats,
+                "ssim": _paired_delta_stats(
+                    exact_eval["per_image"]["ssim"], ev["per_image"]["ssim"]
+                ),
+            }
+            ev["within_0p1db"] = bool(psnr_stats["ci95"][1] < 0.1)
+            ev["config"] = {"ca_kv_pool": p, "ca_kv_pool_min_tokens": min_tok}
+            prof_report[name] = ev
+            print(
+                f"[parity profile {name}] psnr={ev['mean']['psnr']:.4f} "
+                f"dpsnr={psnr_stats['mean']:+.4f} "
+                f"ci95=({psnr_stats['ci95'][0]:+.4f},{psnr_stats['ci95'][1]:+.4f}) "
+                f"within_0.1dB={ev['within_0p1db']}",
+                flush=True,
+            )
+        report["profiles_50step"] = prof_report
+        # Back-compat summary (the r05/r06 artifact shape).
+        report["fast_profiles_50step"] = {
+            str(p): prof_report[f"kv_pool_{p}"]["mean"] for p in (2, 4, 8)
+        }
     return report
 
 
@@ -482,6 +637,10 @@ def run_parity(
     resume_ckpt: str | None = None,
     inner_channel: int = 16,
     ema_decay: float = 0.99,
+    n_test: int = 16,
+    sample_seeds: tuple = (2,),
+    chunk_steps: int = 0,
+    sample_steps: tuple = (10, 50, 250, 1000),
 ) -> dict:
     t0 = time.time()
     report: dict = {"anchors": REFERENCE_ANCHORS}
@@ -504,12 +663,16 @@ def run_parity(
         ca_kv_pool=ca_kv_pool, texture_mode=texture_mode, eval_every=eval_every,
         ckpt_path=ckpt_path, resume_ckpt=resume_ckpt,
         inner_channel=inner_channel, ema_decay=ema_decay,
+        n_test=n_test, sample_seeds=sample_seeds, chunk_steps=chunk_steps,
+        sample_steps=sample_steps,
     )
     report["config"] = {
         "n_train": n_train, "lr_schedule": lr_schedule, "res": res, "batch": batch,
         "textured": textured, "degrade_scale": degrade_scale,
         "ca_kv_pool": ca_kv_pool, "texture_mode": texture_mode,
         "inner_channel": inner_channel, "ema_decay": ema_decay,
+        "n_test": n_test, "sample_seeds": [int(s) for s in sample_seeds],
+        "chunk_steps": chunk_steps,
     }
     if index_json:
         report["fastmri_cnn"] = run_fastmri_cnn(index_json)

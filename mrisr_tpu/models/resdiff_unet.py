@@ -186,6 +186,15 @@ class ResDiffUNet(nn.Module):
     # serves both profiles.  Fidelity validated head-to-head through the
     # parity harness — see PARITY fast-profile evidence + PERF.md round 5.
     ca_kv_pool: int = 0
+    # Minimum token count (now_res^2) for a CA site to pool its K/V.  The
+    # default 4096 pools both the 16384-token res-128 site and the
+    # 4096-token res-64 site at 256^2 inputs.  Raising it to 8192 yields
+    # the SITE-SELECTIVE middle profile (VERDICT round-2 item 4): only the
+    # dominant 16384-token site pools (~7.4 of 14.7 ms/step — PERF.md
+    # round-5 decomposition) while the smaller site stays exact — a
+    # strictly smaller semantic deviation at nearly the fast profile's
+    # throughput.  Ignored when ca_kv_pool in {0, 1} (exact).
+    ca_kv_pool_min_tokens: int = 4096
     # INT8 SERVING PROFILE (opt-in; False = exact reference semantics).
     # Runs the interior ResnetBlock 3x3 convs in dynamic int8 on the MXU
     # (2x the bf16 rate on v5e) — per-tensor activation scale +
@@ -326,7 +335,11 @@ class ResDiffUNet(nn.Module):
                 now_res //= 2
                 # Skip connection is the CA-modulated map; trunk continues as h.
                 ca_s2d = self.ca_s2d and pre < 128 and now_res % 2 == 0
-                kvp = self.ca_kv_pool if now_res * now_res >= 4096 else 0
+                kvp = (
+                    self.ca_kv_pool
+                    if now_res * now_res >= self.ca_kv_pool_min_tokens
+                    else 0
+                )
                 ca = HFGuidedCrossAttention(self.norm_groups)(
                     h, dwt_queries[i], s2d=ca_s2d, io_s2d=next_s2d, kv_pool=kvp
                 )

@@ -95,3 +95,28 @@ def test_fast_model_same_param_tree_and_site_gate(rng):
     assert np.abs(a - b).max() > 1e-6  # the 4096-token site actually pooled
     # ... and the approximation stays close to exact on random inputs
     assert np.abs(a - b).max() < 0.5
+
+
+def test_site_selective_min_tokens_gate(rng):
+    """The SITE-SELECTIVE middle profile (ca_kv_pool_min_tokens=8192,
+    VERDICT round-2 item 4): at 128^2 input the only big CA site has 4096
+    tokens (res 64), which is BELOW 8192, so the site-selective model must
+    EQUAL exact semantics — while the default min_tokens=4096 profile
+    differs (it pools that site).  Param tree identical across all three."""
+    x128 = jnp.asarray(rng.standard_normal((1, 128, 128, 2)), jnp.float32)
+    gamma = jnp.array([0.5], jnp.float32)
+
+    exact = ResDiffUNet(image_size=128, norm_groups=16)
+    fast = ResDiffUNet(image_size=128, norm_groups=16, ca_kv_pool=4)
+    sel = ResDiffUNet(
+        image_size=128, norm_groups=16, ca_kv_pool=4, ca_kv_pool_min_tokens=8192
+    )
+    params = exact.init(jax.random.PRNGKey(3), x128, gamma)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        sel.init(jax.random.PRNGKey(3), x128, gamma)
+    )
+    a = np.asarray(exact.apply(params, x128, gamma))
+    b = np.asarray(fast.apply(params, x128, gamma))
+    c = np.asarray(sel.apply(params, x128, gamma))
+    np.testing.assert_array_equal(a, c)  # 4096 < 8192: no site pools
+    assert np.abs(a - b).max() > 1e-6  # default gate pools the 4096 site

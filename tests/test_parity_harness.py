@@ -3,7 +3,7 @@ import json
 
 import numpy as np
 
-from mrisr_tpu.eval.parity import run_parity
+from mrisr_tpu.eval.parity import run_parity, run_phantom_cnn, run_phantom_resdiff
 
 
 def test_parity_report_structure(tmp_path):
@@ -25,3 +25,36 @@ def test_parity_report_structure(tmp_path):
     assert on_disk["anchors"]["fastmri_cnn"]["psnr"] == 27.9176
     # params must not leak into the JSON
     assert "cnn_params" not in on_disk["phantom_cnn"]
+
+
+def test_profile_fidelity_statistics_decision_grade():
+    """VERDICT round-2 item 7: the serving-profile head-to-head must emit
+    per-image metric arrays, paired exact-vs-profile deltas with a 95% CI,
+    and a machine-checkable ``within_0p1db`` verdict — over
+    n_test x len(sample_seeds) paired samples with identical noise."""
+    cnn_res = run_phantom_cnn(5, 128, batch=4, n_train=8)
+    rep = run_phantom_resdiff(
+        cnn_res, steps=2, res=128, batch=4, n_train=8, inner_channel=8,
+        sample_steps=(2,), n_test=8, sample_seeds=(2, 3), profile_steps=3,
+    )
+    profs = rep["profiles_50step"]
+    assert profs["sample_steps"] == 3
+    n_pairs = 8 * 2  # n_test x seeds
+    for name in ("exact", "kv_pool_2", "kv_pool_4", "kv_pool_8"):
+        per = profs[name]["per_image"]
+        assert {"psnr", "ssim", "nmse", "hfen"} <= set(per)
+        assert all(len(v) == n_pairs for v in per.values())
+        assert all(np.isfinite(v).all() for v in per.values())
+    for name in ("kv_pool_2", "kv_pool_4", "kv_pool_8"):
+        d = profs[name]["delta_vs_exact"]["psnr"]
+        assert d["n"] == n_pairs
+        assert d["ci95"][0] <= d["mean"] <= d["ci95"][1]
+        assert d["min"] <= d["mean"] <= d["max"]
+        assert profs[name]["within_0p1db"] == (d["ci95"][1] < 0.1)
+        # paired sampling: profiles share the exact chain's noise, so at an
+        # untrained checkpoint the deltas stay small but nonzero
+        assert 0 < abs(d["mean"]) < 20
+    # at 128^2 there is no >8192-token CA site: selective profiles not swept
+    assert "selective_8" not in profs
+    # back-compat summary preserved for r05/r06 artifact consumers
+    assert set(rep["fast_profiles_50step"]) == {"2", "4", "8"}

@@ -671,3 +671,178 @@ def test_fftn_batch_quirk_documented(rng):
         out_t = tfd(nchw(x), torch.from_numpy(emb))
     # channels 3/4 (x_lf, x_hf) flow from the FFT; they must differ at B=2
     assert np.abs(np.asarray(out_j)[..., 3:] - nhwc(out_t)[..., 3:]).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Chain-level differential: the SR3 reverse chain (VERDICT round-2 item 3)
+# ---------------------------------------------------------------------------
+#
+# The reference samples through the runtime-cloned ResDiff repo's
+# ``GaussianDiffusion.test(continous=False)``: an ancestral p_sample loop
+# over the tabulated schedule — x0 from eps with the gamma-conditioned
+# denoiser, clamp to [-1, 1], posterior q(x_{t-1} | x_t, x0) mean, plus
+# exp(0.5 * posterior_log_variance_clipped) noise gated at t > 0 (same
+# posterior-step shape as ``src/adapters/res_srdiff.py:80-96``; SURVEY §3.3).
+# Re-typed here in torch with every schedule quantity re-derived from the
+# betas in float64 (NOT read back from the JAX Schedule), driven by the
+# torch twin UNet, and compared against the JAX ``lax.scan`` sampler on the
+# same weights and the SAME noise realizations.
+
+
+def _sr3_schedule_np(T: int):
+    """SR3 schedule quantities from the linear 1e-6 -> 1e-2 ramp
+    (``ResDif_execution.ipynb`` cell 37), float64 -> float32 like the
+    cloned repo's ``set_new_noise_schedule``."""
+    betas = np.linspace(1e-6, 1e-2, T, dtype=np.float64)
+    alphas = 1.0 - betas
+    ac = np.cumprod(alphas)
+    ac_prev = np.concatenate([[1.0], ac[:-1]])
+    post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
+    tab = {
+        "sqrt_ac": np.sqrt(ac),
+        "sqrt_1m_ac": np.sqrt(1.0 - ac),
+        "ac": ac,
+        "coef1": betas * np.sqrt(ac_prev) / (1.0 - ac),
+        "coef2": (1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac),
+        "log_var": np.log(np.maximum(post_var, post_var[1])),
+    }
+    return {k: v.astype(np.float32) for k, v in tab.items()}
+
+
+def _chain_pair(rng, T=20, size=64):
+    """(flax UNet + params + cond + x_T + per-step noises, torch twin)."""
+    from mrisr_tpu.diffusion.schedules import make_schedule
+
+    # Smooth bounded condition standing in for the stage-1 CNN output.
+    base = rng.standard_normal((1, size, size, 1), np.float32)
+    k = np.ones((7, 7), np.float32) / 49.0
+    sm = np.stack(
+        [
+            np.convolve(row, k[0], mode="same")
+            for row in base[0, :, :, 0]
+        ]
+    )
+    cond = np.tanh(3.0 * (sm - sm.mean()) / (sm.std() + 1e-6))[None, :, :, None]
+    cond = cond.astype(np.float32)
+
+    unet = ResDiffUNet(image_size=size, norm_groups=16, dropout=0.0,
+                       attn_res=(8,), s2d_level0=False)
+    x = np.concatenate([cond, rng.standard_normal(cond.shape).astype(np.float32)], -1)
+    params = unet.init(jax.random.PRNGKey(11), jnp.asarray(x), jnp.array([0.7], np.float32))
+
+    tm = ResDiffUNetTorch(image_size=size, norm_groups=16, dropout=0.0, attn_res=(8,))
+    tm.eval()
+    transfer_unet(params, tm)
+
+    sched = make_schedule("linear", T, 1e-6, 1e-2)
+    x_T = rng.standard_normal(cond.shape).astype(np.float32)
+    return unet, params, sched, cond, x_T, tm
+
+
+def _jax_eps_fn(unet, params, cond):
+    cond_j = jnp.asarray(cond)
+    static = unet.apply(params, cond_j, method="compute_static")
+
+    def eps_fn(x_t, gamma):
+        inp = jnp.concatenate([cond_j, x_t], axis=-1)
+        return unet.apply(params, inp, gamma, static=static)
+
+    return eps_fn
+
+
+def test_sr3_ancestral_chain_matches_torch(rng):
+    """Full ancestral reverse chain: JAX ``sr3_ancestral_sample`` (one
+    ``lax.scan`` program, static FD/DWT precompute — the pipeline path)
+    vs the reference-twin torch p_sample loop, identical weights and
+    identical per-step noise."""
+    from mrisr_tpu.pipelines.sampler import sr3_ancestral_sample
+
+    T = 20
+    unet, params, sched, cond, x_T, tm = _chain_pair(rng, T=T)
+    key = jax.random.PRNGKey(7)
+
+    out_j = np.asarray(
+        jax.jit(
+            lambda xT, k: sr3_ancestral_sample(
+                sched, _jax_eps_fn(unet, params, cond), xT, k, num_steps=None
+            )
+        )(jnp.asarray(x_T), key)
+    )
+
+    # Replicate the scan's key walk host-side: per step k, sub = split(k);
+    # p_step draws normal(sub, shape) (diffusion/ddpm.py:77).
+    noises = []
+    k = key
+    for _ in range(T):
+        k, sub = jax.random.split(k)
+        noises.append(np.asarray(jax.random.normal(sub, x_T.shape, jnp.float32)))
+
+    tab = _sr3_schedule_np(T)
+    cond_t = nchw(cond)
+    xt = nchw(x_T)
+    with torch.no_grad():
+        for i, t in enumerate(range(T - 1, -1, -1)):
+            gamma = torch.from_numpy(tab["sqrt_ac"][t : t + 1])
+            eps = tm(torch.cat([cond_t, xt], dim=1), gamma)
+            x0 = (xt - float(tab["sqrt_1m_ac"][t]) * eps) / float(tab["sqrt_ac"][t])
+            x0 = x0.clamp(-1.0, 1.0)
+            mean = float(tab["coef1"][t]) * x0 + float(tab["coef2"][t]) * xt
+            scale = math.exp(0.5 * float(tab["log_var"][t])) if t > 0 else 0.0
+            xt = mean + scale * nchw(noises[i])
+    out_t = nhwc(xt)
+
+    np.testing.assert_allclose(out_j, out_t, atol=5e-4, rtol=1e-3)
+
+    # Metric agreement: both residual chains, scored as SR = cond + residual
+    # against the condition itself, must agree to well under the 0.1 dB
+    # fidelity bar.
+    from mrisr_tpu.eval.metrics import compute_mri_metrics
+
+    def score(res):
+        sr = np.clip(cond + res, 0, 1).transpose(0, 3, 1, 2)
+        gt = np.clip(cond, 0, 1).transpose(0, 3, 1, 2)
+        m = compute_mri_metrics(jnp.asarray(sr), jnp.asarray(gt))
+        return {kk: float(v) for kk, v in zip(("psnr", "ssim", "nmse", "hfen"), m)}
+
+    mj, mt = score(out_j), score(out_t)
+    assert abs(mj["psnr"] - mt["psnr"]) < 1e-3
+    assert abs(mj["ssim"] - mt["ssim"]) < 1e-4
+
+
+def test_sr3_ddim_chain_matches_torch(rng):
+    """K-step DDIM leg (the benched production chain, eta=0): JAX scan vs
+    the torch twin stepping the same trailing-spaced timestep table with the
+    deterministic DDIM update (Song et al. 2021; diffusion/ddim.py)."""
+    from mrisr_tpu.diffusion.schedules import spaced_timesteps
+    from mrisr_tpu.pipelines.sampler import sr3_ancestral_sample
+
+    T, K = 20, 5
+    unet, params, sched, cond, x_T, tm = _chain_pair(rng, T=T)
+    key = jax.random.PRNGKey(9)
+
+    out_j = np.asarray(
+        jax.jit(
+            lambda xT, k: sr3_ancestral_sample(
+                sched, _jax_eps_fn(unet, params, cond), xT, k, num_steps=K
+            )
+        )(jnp.asarray(x_T), key)
+    )
+
+    tab = _sr3_schedule_np(T)
+    ts = spaced_timesteps(T, K, "trailing")
+    cond_t = nchw(cond)
+    xt = nchw(x_T)
+    with torch.no_grad():
+        for i, t in enumerate(ts):
+            tp = int(ts[i + 1]) if i + 1 < len(ts) else -1
+            gamma = torch.from_numpy(tab["sqrt_ac"][t : t + 1])
+            eps = tm(torch.cat([cond_t, xt], dim=1), gamma)
+            ac_t = float(tab["ac"][t])
+            ac_p = float(tab["ac"][tp]) if tp >= 0 else 1.0
+            x0 = (xt - float(tab["sqrt_1m_ac"][t]) * eps) / float(tab["sqrt_ac"][t])
+            x0 = x0.clamp(-1.0, 1.0)
+            eps_c = (xt - math.sqrt(ac_t) * x0) / math.sqrt(1.0 - ac_t)
+            xt = math.sqrt(ac_p) * x0 + math.sqrt(max(1.0 - ac_p, 0.0)) * eps_c
+    out_t = nhwc(xt)
+
+    np.testing.assert_allclose(out_j, out_t, atol=5e-4, rtol=1e-3)
