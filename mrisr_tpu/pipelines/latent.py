@@ -18,10 +18,12 @@ UNet params ahead of the call (models/lora.py) — zero inference overhead.
 from __future__ import annotations
 
 import functools
+import hashlib
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mrisr_tpu.diffusion.schedules import Schedule
 from mrisr_tpu.models.controlnet import ControlNet
@@ -67,33 +69,55 @@ class LatentSRPipeline:
         self.controlnet_params = controlnet_params
         self.vae_params = vae_params
         self.prompt_embeds = prompt_embeds
+        # Program identity for the jit cache (see ResDiffPipeline): ``self``
+        # is a static jit arg, params/prompt embeddings are TRACED operands
+        # of ``super_resolve_with``, and the schedule arrays are constants
+        # baked into the program — so two pipelines share a compiled program
+        # iff (module configs, schedule contents) match.  id()-hashing (the
+        # previous behavior) retraced per instance AND baked the full SD
+        # param trees in as constants.
+        digest = hashlib.sha1()
+        for leaf in jax.tree_util.tree_leaves(sched):
+            arr = np.asarray(leaf)
+            digest.update(str(arr.shape).encode())
+            digest.update(str(arr.dtype).encode())
+            digest.update(arr.tobytes())
+        self._static_key = (
+            type(self), unet, controlnet, vae, digest.digest()
+        )
 
     @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
-    def super_resolve(
+    def super_resolve_with(
         self,
+        unet_params: Any,
+        controlnet_params: Any,
+        vae_params: Any,
+        prompt_embeds: jnp.ndarray,
         lr: jnp.ndarray,  # [B, H, W, 1] in [-1, 1]
         key: jax.Array,
         num_inference_steps: int = 20,
     ) -> jnp.ndarray:
+        """Weights-as-operands variant: swapping params (LoRA merges,
+        restored checkpoints, EMA snapshots) reuses the compiled program."""
         B = lr.shape[0]
         cond_image = prepare_condition_image(lr, (lr.shape[1], lr.shape[2]))
         lr_rgb = jnp.repeat(lr, 3, axis=-1) if lr.shape[-1] == 1 else lr
 
         key, k_enc = jax.random.split(key)
         anchor = (
-            self.vae.apply(self.vae_params, lr_rgb, k_enc, method=self.vae.encode)
+            self.vae.apply(vae_params, lr_rgb, k_enc, method=self.vae.encode)
             * self.vae.scaling_factor
         )
         ctx = jnp.broadcast_to(
-            self.prompt_embeds[:1], (B,) + self.prompt_embeds.shape[1:]
+            prompt_embeds[:1], (B,) + prompt_embeds.shape[1:]
         )
 
         def eps_fn(x_t, t):
             down_res, mid_res = self.controlnet.apply(
-                self.controlnet_params, x_t, t, ctx, cond_image
+                controlnet_params, x_t, t, ctx, cond_image
             )
             return self.unet.apply(
-                self.unet_params,
+                unet_params,
                 x_t,
                 t,
                 ctx,
@@ -105,15 +129,29 @@ class LatentSRPipeline:
             self.sched, eps_fn, anchor, key, num_steps=num_inference_steps
         )
         img = self.vae.apply(
-            self.vae_params, latents / self.vae.scaling_factor, method=self.vae.decode
+            vae_params, latents / self.vae.scaling_factor, method=self.vae.decode
         )
         return img  # [B, H, W, 3] in [-1, 1]
 
+    def super_resolve(
+        self,
+        lr: jnp.ndarray,  # [B, H, W, 1] in [-1, 1]
+        key: jax.Array,
+        num_inference_steps: int = 20,
+    ) -> jnp.ndarray:
+        return self.super_resolve_with(
+            self.unet_params, self.controlnet_params, self.vae_params,
+            self.prompt_embeds, lr, key, num_inference_steps,
+        )
+
     def __hash__(self):
-        return id(self)
+        return hash(self._static_key)
 
     def __eq__(self, other):
-        return self is other
+        return (
+            isinstance(other, LatentSRPipeline)
+            and self._static_key == other._static_key
+        )
 
 
 def decode_to_vis(img: jnp.ndarray) -> "Any":

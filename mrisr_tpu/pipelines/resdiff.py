@@ -13,10 +13,12 @@ into one jitted program, with the public signature preserved:
 from __future__ import annotations
 
 import functools
+import hashlib
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mrisr_tpu.diffusion.schedules import Schedule
 from mrisr_tpu.models.resdiff_unet import ResDiffUNet
@@ -41,6 +43,23 @@ class ResDiffPipeline:
         self.sched = sched
         self.cnn_params = cnn_params
         self.unet_params = unet_params
+        # Program identity for the jit cache: ``self`` rides the jitted
+        # methods as a STATIC argument, and the schedule arrays reach the
+        # program through ``self`` too — i.e. they are baked in as
+        # compile-time constants.  So two pipelines compile to the same
+        # program iff (module configs, schedule contents) match; params are
+        # traced operands and deliberately excluded.  Hashing by ``id``
+        # (the previous behavior) forced a fresh trace+compile per
+        # *instance* — through the axon relay a redundant 256^2 50-step
+        # compile costs 5-15 minutes, which made per-seed pipeline
+        # construction in the parity harness pathological.
+        digest = hashlib.sha1()
+        for leaf in jax.tree_util.tree_leaves(sched):
+            arr = np.asarray(leaf)
+            digest.update(str(arr.shape).encode())
+            digest.update(str(arr.dtype).encode())
+            digest.update(arr.tobytes())
+        self._static_key = (type(self), cnn, unet, digest.digest())
 
     def stage1(self, lr: jnp.ndarray) -> jnp.ndarray:
         return self.cnn.apply(self.cnn_params, lr)
@@ -171,7 +190,10 @@ class ResDiffPipeline:
         )
 
     def __hash__(self):  # allow use as a static jit arg
-        return id(self)
+        return hash(self._static_key)
 
     def __eq__(self, other):
-        return self is other
+        return (
+            isinstance(other, ResDiffPipeline)
+            and self._static_key == other._static_key
+        )

@@ -127,6 +127,51 @@ def test_resdiff_pipeline_many_chains_match_single(key):
         )
 
 
+def test_resdiff_pipeline_program_identity_is_config_based(key):
+    """Equal-config pipelines share the compiled program (no retrace).
+
+    ``self`` rides the jitted methods as a static arg; it used to hash by
+    ``id()``, so every fresh ``ResDiffPipeline`` instance — e.g. one per
+    (profile, seed) in the parity harness — forced a full retrace+recompile
+    (5-15 min each through the axon relay at 256^2).  Program identity must
+    be (module configs, schedule contents): params are traced operands.
+    """
+    from mrisr_tpu.models.simple_cnn import SimpleCNN
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+    from mrisr_tpu.pipelines.resdiff import ResDiffPipeline
+
+    cnn = SimpleCNN()
+    unet = ResDiffUNet(image_size=16, inner_channel=8, norm_groups=4)
+    sched = resdiff_schedule(50)
+    k1, k2, k3 = jax.random.split(key, 3)
+    lr = jax.random.uniform(k3, (1, 16, 16, 1))
+    cnn_params = cnn.init(k1, lr)
+    unet_params = unet.init(k2, jnp.zeros((1, 16, 16, 2)), jnp.array([0.5]))
+
+    mk = lambda u: ResDiffPipeline(cnn, u, sched, cnn_params, unet_params)
+    p1, p2 = mk(unet), mk(unet)
+    assert p1 == p2 and hash(p1) == hash(p2)
+
+    out1 = p1.super_resolve(lr, k3, num_steps=2)
+    size = ResDiffPipeline.super_resolve_with._cache_size()
+    out2 = p2.super_resolve(lr, k3, num_steps=2)  # fresh instance, same config
+    assert ResDiffPipeline.super_resolve_with._cache_size() == size
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # A genuinely different config (kv-pooled CA) must NOT collide.
+    pooled = ResDiffPipeline(
+        cnn,
+        ResDiffUNet(image_size=16, inner_channel=8, norm_groups=4, ca_kv_pool=4),
+        sched, cnn_params, unet_params,
+    )
+    assert pooled != p1
+    # ... and different schedule CONTENTS must not collide either (the
+    # schedule arrays are baked into the program as constants).
+    assert mk(unet)._static_key != ResDiffPipeline(
+        cnn, unet, resdiff_schedule(60), cnn_params, unet_params
+    )._static_key
+
+
 def test_train_steps_reduce_loss(key):
     """A few CNN train steps on a fixed batch must reduce the loss."""
     import optax
