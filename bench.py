@@ -12,11 +12,15 @@ HF-CA (``--fast 8``) with 8 chains per dispatch (``--chains 8`` — the
 volume-serving dispatch pattern; a 128-slice volume is 16 bs=8 chains).
 This is the configuration that meets BASELINE.json's combined target
 (>20 slices/s/chip AND PSNR within 0.1 dB): the kv-pooled profile is
-measured fidelity-equivalent to exact reference semantics within
-0.008-0.07 dB on the same trained checkpoints (PARITY_r05_128.json /
-PARITY_r06_128.json ``fast_profiles_50step``) — 'fast' approximates only
-the attention KV spatial resolution, never the trained weights or the
-sampler math.  Exact reference semantics remain the LIBRARY default
+measured fidelity-equivalent to exact reference semantics AT THE
+PRODUCTION 256^2 SHAPE — where BOTH CA sites (incl. the dominant
+16384-token res-128 site) pool — on a 60k-step trained checkpoint over
+n=128 paired samples (64 held-out images x 2 sampler seeds):
+kv_pool=8 paired PSNR delta +0.056 dB mean, 95% CI (+0.046, +0.067),
+``within_0p1db: true`` (PARITY_r07_256.json ``profiles_50step``; the
+128^2 evidence trail is PARITY_r05/r06_128.json).  'fast' approximates
+only the attention KV spatial resolution, never the trained weights or
+the sampler math.  Exact reference semantics remain the LIBRARY default
 (``ResDiffUNet(ca_kv_pool=0)``) and are benchable with ``--fast 0``;
 they saturate at ~11.0-11.1 slices/s/chip (BENCH_SWEEP_r08.jsonl, the
 measured sum-of-named-parts asymptote — PERF.md round-5/8).
@@ -63,8 +67,10 @@ def main():
     )
     ap.add_argument(
         "--int8", action="store_true",
-        help="serving profile: run the interior ResnetBlock 3x3 convs in "
-        "dynamic int8 on the MXU (ops/quant.py; composes with --fast)",
+        help="EXPERIMENTAL (measured NET NEGATIVE, PERF.md round-9: "
+        "19.6-19.8 vs 20.3-20.6 slices/s with --fast 8, and no fidelity "
+        "leg): dynamic int8 ResnetBlock 3x3 convs (ops/quant.py). Kept "
+        "for future shapes; NOT a serving-profile peer of --fast",
     )
     ap.add_argument(
         "--chains", type=int, default=8,
@@ -194,12 +200,15 @@ def main():
                 "per_rep_stdev_ms": round(float(np.std(per_rep_ms)), 2),
                 # Cross-references (pointers, not measurements): the headline
                 # serving profile's fidelity equivalence vs exact reference
-                # semantics is pinned on trained checkpoints (max delta
-                # 0.008-0.07 dB, 12x inside the 0.1 dB BASELINE target);
+                # semantics is pinned at the production 256^2 shape on a
+                # trained checkpoint with paired per-image deltas + 95% CI
+                # (kv_pool=8: +0.056 dB mean, CI upper +0.067 < 0.1);
                 # exact semantics (--fast 0, the library default) saturate
                 # at ~11.0-11.1 slices/s/chip.
                 "fidelity_evidence": (
-                    "PARITY_r05_128.json/PARITY_r06_128.json fast_profiles_50step"
+                    "PARITY_r07_256.json profiles_50step (256^2, n=128 paired,"
+                    " kv_pool_8 dPSNR +0.056 dB, CI95 (+0.046,+0.067),"
+                    " within_0p1db=true; trail: PARITY_r05/r06_128.json)"
                     if args.fast > 1
                     else None
                 ),
