@@ -26,6 +26,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+if os.environ.get("MRISR_MAPS_REPORT"):
+    # Diagnostic (opt-in): print the process's /proc/self/maps entry count
+    # after every test, to attribute memory-map growth.  The full suite was
+    # observed to segfault when the count hit vm.max_map_count (65530).
+    def _nmaps():
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+
+    @pytest.hookimpl(hookwrapper=True)
+    def pytest_runtest_teardown(item):
+        yield
+        print(f"\n[maps] {_nmaps()} after {item.nodeid}", flush=True)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

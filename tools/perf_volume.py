@@ -41,23 +41,30 @@ def main():
     cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dtype), t)
     sched = resdiff_schedule(1000)
     pipe = ResDiffPipeline(cnn, unet, sched, cast(cnn_params), cast(unet_params))
-    # Fast serving profile: same param tree, kv-pooled HF-CA (measured
-    # fidelity-equivalent within 0.07 dB — PARITY_r05/r06 fast_profiles).
-    unet_fast = ResDiffUNet(image_size=256, ca_kv_pool=4)
-    pipe_fast = ResDiffPipeline(
-        cnn, unet_fast, sched, pipe.cnn_params, pipe.unet_params
+    # Fast serving profiles: same param tree, kv-pooled HF-CA (fidelity
+    # pinned at the production 256^2 shape — PARITY_r07_256.json; pool 8
+    # is bench.py's headline profile).
+    mk_fast = lambda p: ResDiffPipeline(
+        cnn, ResDiffUNet(image_size=256, ca_kv_pool=p), sched,
+        pipe.cnn_params, pipe.unet_params,
     )
+    fast_pipes = {"fast4": mk_fast(4), "fast8": mk_fast(8)}
 
     import os
+    import sys
 
     n_slices = 128
     # Mode A/B in ONE process (the relay compile cache is per-process, so
     # separate processes would pay the ~14 min compile per variant): warm
     # once, then time each dispatch mode on a FRESH random volume (the
     # relay memoizes repeated identical values).
-    modes = [("serial", {}), ("chains4", {"MRISR_VOLUME_CHAINS": "4"}),
-             ("chains8", {"MRISR_VOLUME_CHAINS": "8"}),
-             ("fast4_chains8", {"MRISR_VOLUME_CHAINS": "8"})]
+    all_modes = [("serial", {}), ("chains4", {"MRISR_VOLUME_CHAINS": "4"}),
+                 ("chains8", {"MRISR_VOLUME_CHAINS": "8"}),
+                 ("fast4_chains8", {"MRISR_VOLUME_CHAINS": "8"}),
+                 ("fast8_chains8", {"MRISR_VOLUME_CHAINS": "8"}),
+                 ("fast8_chains16", {"MRISR_VOLUME_CHAINS": "16"})]
+    wanted = sys.argv[1:]  # e.g. perf_volume.py fast8_chains8 chains8
+    modes = [m for m in all_modes if not wanted or m[0] in wanted]
     if os.environ.get("MRISR_PERF_VOLUME_LEGACY", "0") == "1":
         # Threaded/async variants measured NET NEGATIVE through the relay
         # (PERF.md round 6); kept for A/B on direct-attached deployments.
@@ -81,7 +88,7 @@ def main():
                     os.environ.pop(k, None)
 
         for name, env in modes:
-            p = pipe_fast if name.startswith("fast") else pipe
+            p = fast_pipes[name.split("_")[0]] if name.startswith("fast") else pipe
             # Each chain-group size compiles its own program, so every mode
             # needs its own warm pass (compile through the relay is minutes;
             # folding it into the timed run would swamp the comparison).
