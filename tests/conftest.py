@@ -26,6 +26,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _raise_max_map_count(target=262144):
+    """Best-effort raise of vm.max_map_count (root cause of the round-2
+    full-suite segfault: ~198 tests of XLA CPU compiles + torch co-load
+    accumulate ~65k memory maps and the process dies at the kernel's
+    default 65530 cap mid-compile).  Runs as root in this image; silently
+    a no-op where unprivileged."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            current = int(f.read())
+        if current < target:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write(str(target))
+    except (OSError, ValueError):
+        pass
+
+
+_raise_max_map_count()
+
+
 if os.environ.get("MRISR_MAPS_REPORT"):
     # Diagnostic (opt-in): print the process's /proc/self/maps entry count
     # after every test, to attribute memory-map growth.  The full suite was
