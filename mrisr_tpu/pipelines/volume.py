@@ -42,9 +42,21 @@ def volume_to_model_slices(
 def restack_slices(
     sr_slices: np.ndarray, shapes: list[tuple[int, int]], axis: int = 2
 ) -> np.ndarray:
-    """Undo the pad/crop per slice and stack back into a volume ([0,1])."""
+    """Undo the pad/crop per slice and stack back into a volume ([0,1]).
+
+    Accepts non-square slice stacks too (the volume driver may have already
+    cropped the model-resolution padding off on device — PERF.md round-11).
+    """
+    rh, rw = sr_slices.shape[1:3]
+    h0, w0 = shapes[0]
+    if all(s == (h0, w0) for s in shapes) and h0 <= rh and w0 <= rw:
+        # Uniform-shape volume (the common case): one vectorized crop +
+        # rescale instead of a per-slice Python loop (PERF.md round-11:
+        # the loop cost 0.33 s of a 7.9 s volume).
+        ph, pw = (rh - h0) // 2, (rw - w0) // 2
+        vol = (sr_slices[:, ph : ph + h0, pw : pw + w0, 0] + 1.0) / 2.0
+        return np.moveaxis(vol, 0, axis)
     out = []
-    r = sr_slices.shape[1]
     for i, (h, w) in enumerate(shapes):
         img = sr_slices[i, ..., 0]
         # undo pad (crop center) or undo crop (pad edges back with zeros)
@@ -90,8 +102,19 @@ def super_resolve_volume(
     multiple of G*batch_size by repeating the last slice (one wasted chain at
     worst) so a single compiled program serves the whole volume.
     """
+    import os
+    import time as _time
+
+    trace = os.environ.get("MRISR_VOLUME_TRACE", "0") == "1"
+    _marks: list[tuple[str, float]] = [("start", _time.perf_counter())]
+
+    def _mark(name: str) -> None:
+        if trace:
+            _marks.append((name, _time.perf_counter()))
+
     img = to_ras(read_nifti(nifti_path))
     vol = img.data
+    _mark("read_nifti")
     if dtype is None:
         # Majority leaf dtype = the trunk's activation dtype even for mixed
         # trees (e.g. fp32 norm scales inside a bf16 tree, where leaves[0]
@@ -137,7 +160,6 @@ def super_resolve_volume(
     # ``MRISR_VOLUME_ASYNC_WINDOW > 0`` restores the old pattern for A/B.
     # Results come back in the device dtype (bf16 = half the tunnel bytes)
     # and are widened to fp32 on the host.
-    import os
     from concurrent.futures import ThreadPoolExecutor
 
     window = int(os.environ.get("MRISR_VOLUME_ASYNC_WINDOW", "0"))
@@ -193,9 +215,37 @@ def super_resolve_volume(
         G = chain_group
         padded = starts + [starts[-1]] * (-len(starts) % G)
         outs_map: dict[int, np.ndarray] = {}
+        ph = {"prep": 0.0, "upload": 0.0, "chain": 0.0, "download": 0.0}
+        # Download path (PERF.md round-11 fetch rig): the tunnel downloads
+        # ~26 MB/s single-stream but ~35 MB/s over 8 concurrent chunk
+        # fetches, and the host-side crop to the original slice shape can
+        # run on device first (0.74x bytes for a 220^2 volume).  Both are
+        # post-drain (no in-flight chain to stall, unlike the round-6
+        # threaded-overlap negative result).
+        fetch_threads = int(os.environ.get("MRISR_FETCH_THREADS", "8"))
+        dev_crop = os.environ.get("MRISR_VOLUME_DEVICE_CROP", "1") == "1"
+
+        def _fetch_many(sr) -> np.ndarray:
+            k = min(fetch_threads, sr.shape[0])
+            if k <= 1:
+                return _fetch(sr)
+            bounds = np.linspace(0, sr.shape[0], k + 1, dtype=int)
+            with ThreadPoolExecutor(max_workers=k) as ex:
+                parts = list(
+                    ex.map(
+                        lambda ij: np.asarray(sr[ij[0] : ij[1]]),
+                        zip(bounds[:-1], bounds[1:]),
+                    )
+                )
+            return np.concatenate(parts).astype(np.float32)
+
+        crop_fn = None
         for gi in range(0, len(padded), G):
             grp = padded[gi : gi + G]
-            stack = jnp.asarray(np.stack([_prep_batch(s) for s in grp]), dtype)
+            t0 = _time.perf_counter()
+            host_stack = np.stack([_prep_batch(s) for s in grp])
+            t1 = _time.perf_counter()
+            stack = jnp.asarray(host_stack, dtype)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -204,14 +254,45 @@ def super_resolve_volume(
                 )
             keys = jnp.stack([jax.random.fold_in(key, s) for s in grp])
             stack.block_until_ready()
+            t2 = _time.perf_counter()
             sr = pipeline.super_resolve_many(
                 pipeline.cnn_params, pipeline.unet_params, stack, keys, num_steps
             )
             sr.block_until_ready()
-            host = _fetch(sr)
+            t3 = _time.perf_counter()
+            if dev_crop and crop_fn is None:
+                # A volume's slices all share one shape; crop back to it on
+                # device so the tunnel moves 0.74x bytes (220^2 vs 256^2).
+                # restack_slices sees r == h0 and its crop is a no-op.
+                h0, w0 = shapes[grp[0]]
+                if h0 <= resolution and w0 <= resolution and (h0, w0) != (
+                    resolution,
+                    resolution,
+                ):
+                    ch, cw = (resolution - h0) // 2, (resolution - w0) // 2
+                    crop_fn = jax.jit(
+                        lambda a: a[:, :, ch : ch + h0, cw : cw + w0, :]
+                    )
+                else:
+                    dev_crop = False
+            if crop_fn is not None:
+                sr = crop_fn(sr)
+                sr.block_until_ready()
+            host = _fetch_many(sr)
+            t4 = _time.perf_counter()
+            ph["prep"] += t1 - t0
+            ph["upload"] += t2 - t1
+            ph["chain"] += t3 - t2
+            ph["download"] += t4 - t3
             for g, s in enumerate(grp):
                 outs_map.setdefault(s, host[g])
         outs = [outs_map[s] for s in starts]
+        if trace:
+            print(
+                "volume trace grouped: "
+                + " ".join(f"{k}={v:.3f}s" for k, v in ph.items()),
+                flush=True,
+            )
     else:
         # Strict serial: prep -> upload -> chain (blocked) -> download.
         # Through the relay every concurrent RPC pattern measured slower
@@ -223,9 +304,18 @@ def super_resolve_volume(
             sr.block_until_ready()
             outs.append(_fetch(sr))
     sr_all = np.concatenate(outs)[:n]
+    _mark("chains_done")
 
     vol = restack_slices(sr_all, shapes, axis)
     result = NiftiImage(data=vol.astype(np.float32), affine=img.affine, header=img.header)
+    _mark("restack")
     if out_path is not None:
         write_nifti(out_path, result.data, result.affine)
+    _mark("write_nifti")
+    if trace:
+        segs = " ".join(
+            f"{b}={t1 - t0:.3f}s"
+            for (_, t0), (b, t1) in zip(_marks, _marks[1:])
+        )
+        print(f"volume trace phases: {segs}", flush=True)
     return result
