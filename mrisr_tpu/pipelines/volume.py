@@ -19,6 +19,11 @@ import numpy as np
 from mrisr_tpu.data.nifti import NiftiImage, read_nifti, to_ras, write_nifti
 from mrisr_tpu.data.slices import clip_to_unit_interval, pad_or_center_crop, to_minus_one_one
 
+# Last grouped-dispatch phase breakdown (prep/upload/chain/download seconds),
+# populated when MRISR_VOLUME_TRACE=1 — read by tools/perf_volume.py to
+# record the phase split in its JSON artifact.
+LAST_TRACE: dict | None = None
+
 
 def volume_to_model_slices(
     vol: np.ndarray,
@@ -45,30 +50,36 @@ def restack_slices(
     """Undo the pad/crop per slice and stack back into a volume ([0,1]).
 
     Accepts non-square slice stacks too (the volume driver may have already
-    cropped the model-resolution padding off on device — PERF.md round-11).
+    cropped the model-resolution padding off on device — PERF.md round-12).
     """
     rh, rw = sr_slices.shape[1:3]
     h0, w0 = shapes[0]
     if all(s == (h0, w0) for s in shapes) and h0 <= rh and w0 <= rw:
         # Uniform-shape volume (the common case): one vectorized crop +
-        # rescale instead of a per-slice Python loop (PERF.md round-11:
-        # the loop cost 0.33 s of a 7.9 s volume).
+        # rescale instead of a per-slice Python loop (PERF.md round-12:
+        # restack+IO is ~0.5 s of an 8.6 s volume even vectorized).
         ph, pw = (rh - h0) // 2, (rw - w0) // 2
         vol = (sr_slices[:, ph : ph + h0, pw : pw + w0, 0] + 1.0) / 2.0
         return np.moveaxis(vol, 0, axis)
     out = []
     for i, (h, w) in enumerate(shapes):
         img = sr_slices[i, ..., 0]
-        # undo pad (crop center) or undo crop (pad edges back with zeros)
-        if h <= r and w <= r:
-            ph, pw = (r - h) // 2, (r - w) // 2
-            img = img[ph : ph + h, pw : pw + w]
-        else:
-            canvas = np.zeros((h, w), img.dtype)
-            ch, cw = min(h, r), min(w, r)
-            canvas[(h - ch) // 2 : (h - ch) // 2 + ch, (w - cw) // 2 : (w - cw) // 2 + cw] = img[
-                :ch, :cw
-            ]
+        # Per-dimension undo of pad_or_center_crop: an original dim <= the
+        # model resolution was center-PADDED going in (crop the center back
+        # out); a dim > the resolution was center-CROPPED (place the SR
+        # patch back at the canvas center, border filled with -1 = black in
+        # [-1,1] space, matching the input side's pad_value=-1).  The two
+        # cases are independent per dim — a (20, 12) slice at resolution 16
+        # is cropped in h AND padded in w (regression-tested in
+        # tests/test_volume_chains.py).
+        if h <= rh:
+            img = img[(rh - h) // 2 : (rh - h) // 2 + h, :]
+        if w <= rw:
+            img = img[:, (rw - w) // 2 : (rw - w) // 2 + w]
+        if img.shape != (h, w):
+            canvas = np.full((h, w), -1.0, img.dtype)
+            oh, ow = (h - img.shape[0]) // 2, (w - img.shape[1]) // 2
+            canvas[oh : oh + img.shape[0], ow : ow + img.shape[1]] = img
             img = canvas
         out.append((img + 1.0) / 2.0)
     return np.stack(out, axis=axis)
@@ -216,7 +227,7 @@ def super_resolve_volume(
         padded = starts + [starts[-1]] * (-len(starts) % G)
         outs_map: dict[int, np.ndarray] = {}
         ph = {"prep": 0.0, "upload": 0.0, "chain": 0.0, "download": 0.0}
-        # Download path (PERF.md round-11 fetch rig): the tunnel downloads
+        # Download path (PERF.md round-12 + tools/perf_fetch.py): the tunnel downloads
         # ~26 MB/s single-stream but ~35 MB/s over 8 concurrent chunk
         # fetches, and the host-side crop to the original slice shape can
         # run on device first (0.74x bytes for a 220^2 volume).  Both are
@@ -227,6 +238,12 @@ def super_resolve_volume(
 
         def _fetch_many(sr) -> np.ndarray:
             k = min(fetch_threads, sr.shape[0])
+            # Largest k that divides the group count: equal-size chunks mean
+            # ONE sliced shape, hence one compiled slice program through the
+            # relay (ADVICE round-3: linspace bounds gave mixed sizes for
+            # G % k != 0, compiling several programs on the first volume).
+            while k > 1 and sr.shape[0] % k:
+                k -= 1
             if k <= 1:
                 return _fetch(sr)
             bounds = np.linspace(0, sr.shape[0], k + 1, dtype=int)
@@ -288,6 +305,8 @@ def super_resolve_volume(
                 outs_map.setdefault(s, host[g])
         outs = [outs_map[s] for s in starts]
         if trace:
+            global LAST_TRACE
+            LAST_TRACE = dict(ph)
             print(
                 "volume trace grouped: "
                 + " ".join(f"{k}={v:.3f}s" for k, v in ph.items()),

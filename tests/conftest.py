@@ -45,6 +45,27 @@ def _raise_max_map_count(target=262144):
 _raise_max_map_count()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: torch-differential chain legs and other multi-minute tests; "
+        "skipped by default, opt in with MRISR_SLOW_TESTS=1 (the full-suite "
+        "CI leg). Keeps the default `pytest tests/` run near 20 min on a "
+        "single-core host (VERDICT round-3 weak #3).",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("MRISR_SLOW_TESTS", "0") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow leg (torch chain differentials): opt in with MRISR_SLOW_TESTS=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 if os.environ.get("MRISR_MAPS_REPORT"):
     # Diagnostic (opt-in): print the process's /proc/self/maps entry count
     # after every test, to attribute memory-map growth.  The full suite was

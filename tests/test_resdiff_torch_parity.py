@@ -637,6 +637,7 @@ def _full_forward_pair(rng, s2d_level0, attn_res=(8,)):
     return np.asarray(out_j), nhwc(out_t)
 
 
+@pytest.mark.slow
 def test_full_forward_matches_torch(rng):
     """Plain-path forward vs the torch twin (production mid-only-attention
     topology: at 64^2 with attn_res=(8,) the level-3/mid blocks carry
@@ -646,6 +647,7 @@ def test_full_forward_matches_torch(rng):
     np.testing.assert_allclose(out_j, out_t, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_full_forward_s2d_matches_torch(rng):
     """The space-to-depth execution (production default) against the SAME
     torch twin — proves the s2d rewrite is reference-exact end to end."""
@@ -750,6 +752,7 @@ def _jax_eps_fn(unet, params, cond):
     return eps_fn
 
 
+@pytest.mark.slow
 def test_sr3_ancestral_chain_matches_torch(rng):
     """Full ancestral reverse chain: JAX ``sr3_ancestral_sample`` (one
     ``lax.scan`` program, static FD/DWT precompute — the pipeline path)
@@ -809,6 +812,7 @@ def test_sr3_ancestral_chain_matches_torch(rng):
     assert abs(mj["ssim"] - mt["ssim"]) < 1e-4
 
 
+@pytest.mark.slow
 def test_sr3_ddim_chain_matches_torch(rng):
     """K-step DDIM leg (the benched production chain, eta=0): JAX scan vs
     the torch twin stepping the same trailing-spaced timestep table with the

@@ -46,3 +46,41 @@ def test_volume_grouped_dispatch_matches_serial(tmp_path, key):
     assert serial.data.shape == vol.shape
     np.testing.assert_allclose(grouped.data, serial.data, atol=1e-5, rtol=1e-5)
     np.testing.assert_array_equal(grouped.affine, serial.affine)
+
+
+def test_restack_slices_larger_than_resolution():
+    """Slices LARGER than the model resolution take the pad-back branch
+    (undo-crop): the SR patch is centered on a zero canvas of the original
+    shape (ADVICE round-3: this path raised NameError after the vectorized
+    fast-path refactor; no prior test covered it)."""
+    from mrisr_tpu.pipelines.volume import restack_slices
+
+    rng = np.random.default_rng(1)
+    sr = rng.uniform(-1, 1, (3, 32, 32, 1)).astype(np.float32)
+    vol = restack_slices(sr, [(40, 40)] * 3, axis=2)
+    assert vol.shape == (40, 40, 3)
+    # center 32x32 carries the slices, border is the zero canvas
+    np.testing.assert_allclose(
+        vol[4:36, 4:36, :], np.moveaxis((sr[..., 0] + 1) / 2, 0, 2), atol=1e-6
+    )
+    np.testing.assert_array_equal(vol[:4, :, :], 0.0)
+    np.testing.assert_array_equal(vol[:, 36:, :], 0.0)
+
+
+def test_restack_slices_pad_back_mixed_dims():
+    from mrisr_tpu.pipelines.volume import restack_slices
+
+    rng = np.random.default_rng(3)
+    # uniform ORIGINAL shapes but mixed relative to resolution is the real
+    # serving case; exercise the loop by making shapes equal but > res in
+    # one dim and < res in the other (fails the fast-path h0<=rh and w0<=rw
+    # test, so the loop runs its pad-back branch per slice).
+    sr = rng.uniform(-1, 1, (2, 16, 16, 1)).astype(np.float32)
+    vol = restack_slices(sr, [(20, 12)] * 2, axis=2)
+    assert vol.shape == (20, 12, 2)
+    # width 12 < 16: cropped center columns [2:14]; height 20 > 16: rows
+    # padded back with 2 zero rows top/bottom.
+    np.testing.assert_array_equal(vol[:2, :, :], 0.0)
+    np.testing.assert_allclose(
+        vol[2:18, :, 0], (sr[0, :, 2:14, 0] + 1) / 2, atol=1e-6
+    )

@@ -1,7 +1,7 @@
 """Device->host download strategies through the axon tunnel.
 
 The volume driver's end-to-end gap vs the chain rate is dominated by the
-result download (PERF.md round-11 trace: 16.7 MB bf16 at ~10 MB/s while
+result download (PERF.md round-12 trace: 16.7 MB bf16 at ~10 MB/s while
 uploads run ~4x faster).  This rig A/Bs fetch strategies on a chain-shaped
 result array [G=16, B=8, 256, 256, 1] bf16:
 

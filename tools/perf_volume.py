@@ -70,6 +70,12 @@ def main():
         # (PERF.md round 6); kept for A/B on direct-attached deployments.
         modes += [("threads", {"MRISR_VOLUME_THREADS": "1"}),
                   ("async4", {"MRISR_VOLUME_ASYNC_WINDOW": "4"})]
+    import json
+
+    from mrisr_tpu.pipelines import volume as volmod
+
+    out_json = os.environ.get("MRISR_PERF_VOLUME_JSON")
+    results = []
     with tempfile.TemporaryDirectory() as td:
         def run_once(tag, env, p=None):
             for k, v in env.items():
@@ -94,11 +100,37 @@ def main():
             # folding it into the timed run would swamp the comparison).
             run_once(f"warm_{name}", env, p)
             dt = run_once(name, env, p)
+            phases = volmod.LAST_TRACE
             print(
                 f"volume[{name}]: {n_slices} slices 256^2, 50-step DDIM -> "
                 f"{dt:6.2f} s ({n_slices/dt:6.3f} slices/s end-to-end incl. NIfTI IO)",
                 flush=True,
             )
+            results.append(
+                {
+                    "mode": name,
+                    "slices": n_slices,
+                    "wall_s": round(dt, 3),
+                    "slices_per_s_end_to_end": round(n_slices / dt, 3),
+                    "phases_s": (
+                        {k: round(v, 3) for k, v in phases.items()} if phases else None
+                    ),
+                }
+            )
+            if out_json:
+                Path(out_json).write_text(
+                    json.dumps(
+                        {
+                            "metric": "volume end-to-end slices/s (NIfTI->slices->"
+                            "50-step DDIM 256^2 bf16->restack->NIfTI, 220^2x128 "
+                            "volume, fresh host-entropy data per run)",
+                            "backend": jax.default_backend(),
+                            "modes": results,
+                        },
+                        indent=1,
+                    )
+                    + "\n"
+                )
 
 
 if __name__ == "__main__":
