@@ -79,6 +79,12 @@ def main():
         "amortizing per-dispatch host/RPC overhead G-fold",
     )
     ap.add_argument(
+        "--no-precompute-cond", action="store_true",
+        help="latent pipeline A/B: embed the ControlNet condition image "
+        "INSIDE every scan step instead of once per chain (PERF.md "
+        "round-13 hoist; default = hoisted)",
+    )
+    ap.add_argument(
         "--pipeline", default="resdiff", choices=["resdiff", "latent"],
         help="'resdiff' = the flagship headline; 'latent' = the 20-step "
         "ControlNet+SDUNet+VAE chain (BASELINE configs 2-3, reference "
@@ -272,7 +278,8 @@ def bench_latent(args):
     prompt = jnp.asarray(rng.standard_normal(ctx_shape), dtype)
     sched = sd15_schedule()
     pipe = LatentSRPipeline(
-        unet, cn, vae, sched, unet_params, cn_params, vae_params, prompt
+        unet, cn, vae, sched, unet_params, cn_params, vae_params, prompt,
+        precompute_cond=not args.no_precompute_cond,
     )
 
     def fresh():
@@ -315,6 +322,10 @@ def bench_latent(args):
                 "per_rep_stdev_ms": round(float(np.std(per_rep_ms)), 2),
                 "weights": "random (no SD1.5 checkpoint in image; "
                            "throughput-only evidence)",
+                "cond_embedding": (
+                    "per-step (A/B)" if args.no_precompute_cond
+                    else "hoisted once/chain"
+                ),
             }
         )
     )

@@ -252,6 +252,28 @@ def main(argv=None):
                         "final sweep (at 256^2 drop 1000: an 8-chain "
                         "1000-step dispatch exceeds the relay limit)")
 
+    p = sub.add_parser(
+        "parity-latent",
+        help="latent-path (ControlNet/LoRA) trained-model fidelity leg "
+        "(phantom scale; reference src/adapters/res_srdiff.py:36-105)",
+    )
+    _add_common(p)
+    p.add_argument("--out", default="PARITY_LATENT.json")
+    p.add_argument("--resolution", type=int, default=64)
+    p.add_argument("--n-train", type=int, default=256)
+    p.add_argument("--n-test", type=int, default=32)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--vae-steps", type=int, default=4000)
+    p.add_argument("--base-steps", type=int, default=6000)
+    p.add_argument("--cn-steps", type=int, default=3000)
+    p.add_argument("--lora-steps", type=int, default=3000)
+    p.add_argument("--inference-steps", type=int, default=20)
+    p.add_argument("--sample-seeds", default="2,3")
+    p.add_argument("--degrade-scale", type=float, default=4.0)
+    p.add_argument("--texture-mode", default="recoverable",
+                   choices=["recoverable", "legacy"])
+    p.add_argument("--lora-rank", type=int, default=4)
+
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
 
@@ -347,6 +369,33 @@ def main(argv=None):
         for k in ("mnist_regression", "phantom_cnn", "phantom_resdiff", "fastmri_cnn"):
             if k in report:
                 print(k, json.dumps(report[k]["model"]))
+        return 0
+    if args.cmd == "parity-latent":
+        from pathlib import Path
+
+        from mrisr_tpu.eval.parity import run_phantom_latent
+
+        report = run_phantom_latent(
+            res=args.resolution,
+            n_train=args.n_train,
+            n_test=args.n_test,
+            batch=args.batch,
+            vae_steps=args.vae_steps,
+            base_steps=args.base_steps,
+            cn_steps=args.cn_steps,
+            lora_steps=args.lora_steps,
+            num_inference_steps=args.inference_steps,
+            sample_seeds=tuple(int(s) for s in args.sample_seeds.split(",")),
+            degrade_scale=args.degrade_scale,
+            texture_mode=args.texture_mode,
+            lora_rank=args.lora_rank,
+        )
+        Path(args.out).write_text(json.dumps(report, indent=2))
+        for k in ("bicubic_baseline", "vae_recon_ceiling"):
+            print(k, json.dumps(report[k]))
+        for k in ("base_unet", "controlnet", "lora"):
+            print(k, json.dumps(report[k]["mean"]),
+                  "beats_bicubic:", report[k]["beats_bicubic"])
         return 0
     if args.cmd == "bench":
         from bench import main as bench_main

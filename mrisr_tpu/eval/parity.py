@@ -577,6 +577,232 @@ def run_phantom_resdiff(
     return report
 
 
+def run_phantom_latent(
+    res: int = 64,
+    n_train: int = 256,
+    n_test: int = 32,
+    batch: int = 8,
+    vae_steps: int = 4000,
+    base_steps: int = 6000,
+    cn_steps: int = 3000,
+    lora_steps: int = 3000,
+    num_inference_steps: int = 20,
+    sample_seeds: tuple = (2, 3),
+    degrade_scale: float = 4.0,
+    texture_mode: str = "recoverable",
+    lora_rank: int = 4,
+) -> dict:
+    """Trained-model fidelity evidence for the LATENT path (BASELINE
+    configs 2-3; VERDICT round-3 next #2).
+
+    The reference's inference entry point being mirrored is
+    ``src/adapters/res_srdiff.py:36-105``: VAE-encode the LR condition,
+    reverse a 20-step res-shift chain with ControlNet (or LoRA-merged)
+    eps-predictions, VAE-decode.  Real SD1.5 weights are env-blocked
+    (zero egress), so — exactly like the ResDiff stage-2 leg — the whole
+    stack is trained at phantom scale:
+
+    1. a small ``AutoencoderKL`` (f=4: phantom texture does not survive
+       f=8 at 64^2; topology otherwise identical) on the phantom images,
+       with an EMPIRICAL scaling factor (latent unit-variance, the role
+       0.18215 plays for SD1.5);
+    2. a small ``SDUNet`` base on the res-shift objective (the stand-in
+       for SD1.5 pretraining — ``train/latent.py::make_latent_base_...``);
+    3. PEFT legs on the frozen base: a ``ControlNet`` (zero-init output
+       convs, so an UNTRAINED ControlNet is exactly the base) and a LoRA.
+
+    Every row is sampled through the REAL serving entry point
+    (``LatentSRPipeline.super_resolve_with``) with per-(image, seed)
+    paired noise, reported with per-image metric arrays and paired-delta
+    CIs vs the bicubic input — the same decision-grade statistics as
+    ``profiles_50step``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.diffusion.schedules import sd15_schedule
+    from mrisr_tpu.models.controlnet import ControlNet
+    from mrisr_tpu.models.lora import init_lora_params, merge_lora
+    from mrisr_tpu.models.sd_unet import SDUNet
+    from mrisr_tpu.models.vae import AutoencoderKL
+    from mrisr_tpu.pipelines.latent import LatentSRPipeline
+    from mrisr_tpu.train.latent import (
+        make_controlnet_train_step,
+        make_latent_base_train_step,
+        make_lora_train_step,
+        make_vae_train_step,
+    )
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+
+    lr_all, hr_all = _phantom_batches(
+        n_train, res, textured=True, degrade_scale=degrade_scale,
+        texture_mode=texture_mode,
+    )
+    lr_te, hr_te = _phantom_batches(
+        n_test, res, seed0=1000, textured=True, degrade_scale=degrade_scale,
+        texture_mode=texture_mode,
+    )
+    # Model space is [-1, 1] (the SD/VAE convention); metrics in [0, 1].
+    to_pm1 = lambda a: (a * 2.0 - 1.0).astype(np.float32)
+    to_unit = lambda a: np.clip((np.asarray(a, np.float32) + 1.0) / 2.0, 0.0, 1.0)
+    gray = lambda a: np.mean(np.asarray(a, np.float32), axis=-1, keepdims=True)
+
+    vae_cfg = dict(block_out_channels=(16, 32, 64), latent_channels=4)
+    vae = AutoencoderKL(**vae_cfg)
+    key = jax.random.PRNGKey(0)
+    vae_params = vae.init(key, jnp.zeros((1, res, res, 3)))
+    vstate = create_train_state(vae.apply, vae_params, make_optimizer(1e-3))
+    vstep = make_vae_train_step(vae)
+    # Train on BOTH marginals the pipeline encodes (HR targets + LR anchors).
+    pool = np.concatenate([to_pm1(hr_all), to_pm1(lr_all)])
+    for i in range(vae_steps):
+        idx = np.random.default_rng(i).integers(0, len(pool), batch)
+        vstate, vm = vstep(
+            vstate, {"img": jnp.asarray(pool[idx])}, jax.random.fold_in(key, i)
+        )
+        if (i + 1) % max(vae_steps // 4, 1) == 0:
+            print(
+                f"[latent vae {i+1}/{vae_steps}] rec={float(vm['rec']):.5f} "
+                f"kl={float(vm['kl']):.2f}",
+                flush=True,
+            )
+    vae_params = vstate.params
+
+    # Empirical latent scaling: unit-variance latents for the diffusion
+    # (what 0.18215 is for SD1.5's VAE).
+    rgb = lambda a: jnp.repeat(jnp.asarray(a), 3, axis=-1)
+    enc = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
+    lat_sample = np.asarray(enc(vae_params, rgb(to_pm1(hr_all[:64]))))
+    scaling = float(1.0 / max(lat_sample.std(), 1e-6))
+    vae_s = AutoencoderKL(**vae_cfg, scaling_factor=scaling)
+
+    # VAE reconstruction ceiling: nothing sampled in latent space can beat
+    # decode(encode(HR)) — reported so the latent rows are interpretable.
+    rec_te = np.asarray(
+        jax.jit(lambda p, x: vae.apply(p, x))(vae_params, rgb(to_pm1(hr_te)))
+    )
+    vae_ceiling = _metrics(gray(to_unit(rec_te)), hr_te)
+    print(f"[latent vae] recon ceiling psnr={vae_ceiling['psnr']:.2f}", flush=True)
+
+    f = res // (2 ** (len(vae_cfg["block_out_channels"]) - 1))
+    unet = SDUNet(block_out_channels=(32, 64, 64, 64), heads=2, context_dim=16)
+    cn = ControlNet(
+        block_out_channels=(32, 64, 64, 64), heads=2, context_dim=16,
+        cond_block_channels=(8, 16, 32),
+    )
+    sched = sd15_schedule()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    lat0 = jnp.zeros((1, f, f, 4))
+    ctx0 = jnp.zeros((1, 7, 16))
+    base_params = unet.init(k1, lat0, jnp.array([1]), ctx0)
+    cn_params0 = cn.init(
+        k2, lat0, jnp.array([1]), ctx0, jnp.zeros((1, res, res, 3))
+    )
+    prompt = jax.random.normal(jax.random.PRNGKey(42), (1, 7, 16), jnp.float32)
+    empty = jnp.zeros((1, 7, 16), jnp.float32)
+
+    hr_pm1, lr_pm1 = to_pm1(hr_all), to_pm1(lr_all)
+
+    def train_loop(state, step_fn, frozen, steps, tag, seed0=0):
+        for i in range(steps):
+            idx = np.random.default_rng(seed0 + i).integers(0, n_train, batch)
+            b = {"hr": jnp.asarray(hr_pm1[idx]), "lr": jnp.asarray(lr_pm1[idx])}
+            state, m = step_fn(state, frozen, b, jax.random.fold_in(key, seed0 + i))
+            if (i + 1) % max(steps // 4, 1) == 0:
+                print(f"[latent {tag} {i+1}/{steps}] loss={float(m['loss']):.5f}", flush=True)
+        return state
+
+    # 2) base UNet (stand-in for SD1.5 pretraining)
+    bstate = create_train_state(unet.apply, base_params, make_optimizer(2e-4))
+    bstep = make_latent_base_train_step(unet, vae_s, sched, prompt, empty)
+    bstate = train_loop(bstate, bstep, {"vae": vae_params}, base_steps, "base", 10_000)
+    base_params = bstate.params
+
+    # 3a) ControlNet on the frozen base
+    cstate = create_train_state(cn.apply, cn_params0, make_optimizer(2e-4))
+    cstep = make_controlnet_train_step(unet, cn, vae_s, sched, prompt, empty)
+    cstate = train_loop(
+        cstate, cstep, {"unet": base_params, "vae": vae_params}, cn_steps, "cn", 20_000
+    )
+
+    # 3b) LoRA on the frozen base
+    lora0 = init_lora_params(jax.random.PRNGKey(5), base_params, rank=lora_rank)
+    lstate = create_train_state(None, lora0, make_optimizer(1e-3))
+    lstep = make_lora_train_step(unet, vae_s, sched, prompt, base_params)
+    lstate = train_loop(
+        lstate, lstep, {"vae": vae_params}, lora_steps, "lora", 30_000
+    )
+    lora_merged = merge_lora(base_params, lstate.params)
+
+    pipe = LatentSRPipeline(
+        unet, cn, vae_s, sched, base_params, cn_params0, vae_params, prompt
+    )
+    lr_te_dev = jnp.asarray(to_pm1(lr_te))
+
+    def sample_rows(unet_p, cn_p) -> dict:
+        """Per-image metrics over n_test x len(sample_seeds), noise paired
+        by (image, seed) across variants (same fold_in key walk)."""
+        per_seed = []
+        for s in sample_seeds:
+            out = pipe.super_resolve_with(
+                unet_p, cn_p, vae_params, prompt, lr_te_dev,
+                jax.random.PRNGKey(int(s)), num_inference_steps,
+            )
+            per_seed.append(_metrics_per_image(gray(to_unit(out)), hr_te))
+        flat = {
+            m: [v for ps in per_seed for v in ps[m]]
+            for m in ("psnr", "ssim", "nmse", "hfen")
+        }
+        return {"mean": {m: float(np.mean(flat[m])) for m in flat}, "per_image": flat}
+
+    rows = {
+        "base_unet": sample_rows(base_params, cn_params0),
+        "controlnet": sample_rows(base_params, cstate.params),
+        "lora": sample_rows(lora_merged, cn_params0),
+    }
+    # Paired reference rows: bicubic input, repeated per seed to pair with
+    # the (image, seed) sample grid.
+    bicubic_flat = _metrics_per_image(lr_te, hr_te)
+    bicubic_rep = {
+        m: bicubic_flat[m] * len(sample_seeds) for m in bicubic_flat
+    }
+    for name, row in rows.items():
+        psnr_stats = _paired_delta_stats(
+            row["per_image"]["psnr"], bicubic_rep["psnr"]
+        )
+        # delta = model - bicubic here (positive = model BETTER); flip the
+        # _paired_delta_stats convention (exact - other).
+        row["delta_vs_bicubic_psnr"] = psnr_stats
+        row["beats_bicubic"] = bool(psnr_stats["ci95"][0] > 0.0)
+        print(
+            f"[latent row {name}] psnr={row['mean']['psnr']:.3f} "
+            f"dpsnr_vs_bicubic={psnr_stats['mean']:+.3f} "
+            f"ci95=({psnr_stats['ci95'][0]:+.3f},{psnr_stats['ci95'][1]:+.3f})",
+            flush=True,
+        )
+    cn_vs_base = _paired_delta_stats(
+        rows["controlnet"]["per_image"]["psnr"], rows["base_unet"]["per_image"]["psnr"]
+    )
+    return {
+        "reference_entry_point": "src/adapters/res_srdiff.py:36-105",
+        "config": {
+            "res": res, "n_train": n_train, "n_test": n_test,
+            "vae": {**vae_cfg, "f": res // f, "scaling_factor": scaling},
+            "unet_channels": [32, 64, 64, 64],
+            "steps": {"vae": vae_steps, "base": base_steps, "cn": cn_steps,
+                      "lora": lora_steps},
+            "num_inference_steps": num_inference_steps,
+            "sample_seeds": [int(s) for s in sample_seeds],
+            "lora_rank": lora_rank,
+            "degrade_scale": degrade_scale, "texture_mode": texture_mode,
+        },
+        "bicubic_baseline": _metrics(lr_te, hr_te),
+        "vae_recon_ceiling": vae_ceiling,
+        **rows,
+        "controlnet_minus_base_psnr": cn_vs_base,
+    }
+
+
 def run_fastmri_cnn(index_json: str, steps: int = 2000, res: int = 256, batch: int = 8) -> dict:
     """Reproduce the reference's CNN-stage evaluation on real FastMRI data
     (cell 29 training + cell 32 eval; anchor in REFERENCE_ANCHORS)."""

@@ -54,6 +54,11 @@ class ControlNet(nn.Module):
     heads: int = 8
     context_dim: int = 768
     conditioning_scale: float = 1.0
+    # Condition-encoder pyramid; len-1 stride-2 stages must bring the pixel
+    # condition down to the LATENT resolution (SD1.5: f=8 -> 3 stages).  A
+    # phantom-scale f=4 VAE (eval/parity.py::run_phantom_latent) passes a
+    # 3-entry pyramid here.
+    cond_block_channels: Sequence[int] = (16, 32, 96, 256)
 
     @nn.compact
     def __call__(
@@ -61,15 +66,25 @@ class ControlNet(nn.Module):
         x: jnp.ndarray,  # [B, h, w, 4] latents
         t: jnp.ndarray,  # [B]
         context: jnp.ndarray,  # [B, 77, 768]
-        cond_image: jnp.ndarray,  # [B, 8h, 8w, 3] pixel-space condition
+        cond_image: jnp.ndarray | None = None,  # [B, 8h, 8w, 3] pixel condition
+        cond_embedding: jnp.ndarray | None = None,  # precomputed embedding
     ):
+        """Either ``cond_image`` (embedded here) or ``cond_embedding`` (the
+        K-step sampler precomputes it ONCE per chain — the condition image
+        is step-invariant, so embedding it inside the ``lax.scan`` body
+        would re-run the full-resolution conv pyramid every step; PERF.md
+        round-13, same pattern as ``ResDiffUNet.compute_static``)."""
         ch = self.block_out_channels
         temb = Timesteps(ch[0], name="time_proj")(t)
         # cast so a bf16 forward is not promoted to fp32 by the fp32 encoding
         temb = TimestepEmbedding(ch[0] * 4, name="time_embedding")(temb).astype(x.dtype)
 
         h = nn.Conv(ch[0], (3, 3), padding="SAME", name="conv_in")(x)
-        h = h + ControlNetConditioningEmbedding(ch[0], name="controlnet_cond_embedding")(cond_image)
+        if cond_embedding is None:
+            cond_embedding = ControlNetConditioningEmbedding(
+                ch[0], self.cond_block_channels, name="controlnet_cond_embedding"
+            )(cond_image)
+        h = h + cond_embedding
 
         skips = [h]
         for i, c in enumerate(ch):
@@ -95,3 +110,18 @@ class ControlNet(nn.Module):
             * self.conditioning_scale
         )
         return down_res, mid_res
+
+
+def embed_condition(cn: ControlNet, cn_params, cond_image: jnp.ndarray) -> jnp.ndarray:
+    """Run ONLY the condition-image embedding pyramid (for per-chain
+    precompute: the embedding is step-invariant, so the sampler computes it
+    once and feeds ``cond_embedding=`` to every scan step).
+
+    ``ControlNet`` is a compact module (one method), so the sub-tower is
+    applied directly on its own param subtree — the 1:1 diffusers naming
+    (``controlnet_cond_embedding``) makes the slice stable.
+    """
+    sub = cn_params["params"]["controlnet_cond_embedding"]
+    return ControlNetConditioningEmbedding(
+        cn.block_out_channels[0], cn.cond_block_channels
+    ).apply({"params": sub}, cond_image)

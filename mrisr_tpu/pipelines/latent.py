@@ -60,6 +60,7 @@ class LatentSRPipeline:
         controlnet_params: Any,
         vae_params: Any,
         prompt_embeds: jnp.ndarray,
+        precompute_cond: bool = True,
     ):
         self.unet = unet
         self.controlnet = controlnet
@@ -69,6 +70,10 @@ class LatentSRPipeline:
         self.controlnet_params = controlnet_params
         self.vae_params = vae_params
         self.prompt_embeds = prompt_embeds
+        # Hoist the step-invariant ControlNet condition embedding out of the
+        # K-step scan (computed once per chain, PERF.md round-13).  False
+        # restores the in-scan embedding for A/B.
+        self.precompute_cond = precompute_cond
         # Program identity for the jit cache (see ResDiffPipeline): ``self``
         # is a static jit arg, params/prompt embeddings are TRACED operands
         # of ``super_resolve_with``, and the schedule arrays are constants
@@ -83,7 +88,7 @@ class LatentSRPipeline:
             digest.update(str(arr.dtype).encode())
             digest.update(arr.tobytes())
         self._static_key = (
-            type(self), unet, controlnet, vae, digest.digest()
+            type(self), unet, controlnet, vae, digest.digest(), precompute_cond
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
@@ -112,9 +117,16 @@ class LatentSRPipeline:
             prompt_embeds[:1], (B,) + prompt_embeds.shape[1:]
         )
 
+        cond_emb = None
+        if self.precompute_cond:
+            from mrisr_tpu.models.controlnet import embed_condition
+
+            cond_emb = embed_condition(self.controlnet, controlnet_params, cond_image)
+
         def eps_fn(x_t, t):
             down_res, mid_res = self.controlnet.apply(
-                controlnet_params, x_t, t, ctx, cond_image
+                controlnet_params, x_t, t, ctx, cond_image,
+                cond_embedding=cond_emb,
             )
             return self.unet.apply(
                 unet_params,

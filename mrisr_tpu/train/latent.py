@@ -46,6 +46,81 @@ def _diffused_batch(sched: Schedule, hr_lat, lr_lat, key):
     return x_t, t, eps
 
 
+def make_vae_train_step(vae, kl_weight: float = 1e-6) -> Callable:
+    """AutoencoderKL training: reconstruction MSE + KL(q(z|x) || N(0, I)).
+
+    The reference path uses diffusers' FROZEN pretrained SD1.5 VAE
+    (``src/adapters/res_srdiff.py:50,110``); no checkpoint exists in the
+    zero-egress image, so phantom-scale fidelity evidence (eval/parity.py::
+    run_phantom_latent) trains a small AutoencoderKL itself.  The tiny KL
+    weight matches the SD-VAE regime (posterior far from the prior,
+    near-deterministic latents; the diffusion model supplies the prior).
+    """
+
+    @jax.jit
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        x = jnp.repeat(batch["img"], 3, axis=-1) if batch["img"].shape[-1] == 1 else batch["img"]
+
+        def loss_fn(p):
+            mean, logvar = vae.apply(p, x, method=vae.encode_moments)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                key, mean.shape, mean.dtype
+            )
+            rec = vae.apply(p, z, method=vae.decode)
+            rec_loss = l2(rec, x)
+            kl = 0.5 * jnp.mean(
+                jnp.sum(mean**2 + jnp.exp(logvar) - 1.0 - logvar, axis=(1, 2, 3))
+            )
+            return rec_loss + kl_weight * kl, (rec_loss, kl)
+
+        (loss, (rec_loss, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss, "rec": rec_loss, "kl": kl}
+
+    return step
+
+
+def make_latent_base_train_step(
+    unet, vae, sched: Schedule, prompt_embeds, empty_embeds=None,
+    proportion_empty_prompts: float = 0.1,
+) -> Callable:
+    """BASE latent-diffusion training: gradients to the UNET itself.
+
+    The reference starts from a pretrained SD1.5 UNet and only fine-tunes
+    PEFT modules; with no pretrained checkpoint in the image, the
+    phantom-scale parity leg pre-trains a small SDUNet on the same
+    res-shift objective the PEFT steps use (x_t from ``shift_forward``,
+    eps-prediction MSE — ``src/adapters/res_srdiff.py:7-25`` semantics),
+    then freezes it as the base for ControlNet / LoRA fine-tuning.
+    """
+
+    @jax.jit
+    def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
+        k_enc1, k_enc2, k_diff, k_cfg = jax.random.split(key, 4)
+        hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
+        lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
+        scale = vae.scaling_factor
+        hr_lat = vae.apply(frozen["vae"], hr_rgb, k_enc1, method=vae.encode) * scale
+        lr_lat = vae.apply(frozen["vae"], lr_rgb, k_enc2, method=vae.encode) * scale
+
+        x_t, t, eps = _diffused_batch(sched, hr_lat, lr_lat, k_diff)
+        B = hr_lat.shape[0]
+        ctx = jnp.broadcast_to(prompt_embeds[:1], (B,) + prompt_embeds.shape[1:])
+        ctx = _cfg_dropout(ctx, empty_embeds, k_cfg, proportion_empty_prompts)
+
+        def loss_fn(unet_params):
+            eps_pred = unet.apply(unet_params, x_t, t, ctx)
+            return l2(eps_pred, eps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    return step
+
+
 def make_controlnet_train_step(
     unet, controlnet, vae, sched: Schedule, prompt_embeds, empty_embeds=None,
     proportion_empty_prompts: float = 0.1,

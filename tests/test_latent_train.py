@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mrisr_tpu.diffusion.schedules import sd15_schedule
 from mrisr_tpu.models.adapter import T2IAdapter
@@ -11,7 +12,9 @@ from mrisr_tpu.models.vae import AutoencoderKL
 from mrisr_tpu.train.latent import (
     make_adapter_train_step,
     make_controlnet_train_step,
+    make_latent_base_train_step,
     make_lora_train_step,
+    make_vae_train_step,
 )
 from mrisr_tpu.train.state import create_train_state, make_optimizer
 
@@ -66,6 +69,59 @@ def test_lora_train_step(key):
         state, m = step(state, frozen, batch, jax.random.fold_in(key, i))
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_vae_train_step_reduces_loss(key):
+    """A few steps of AutoencoderKL training on a fixed batch must reduce
+    the reconstruction loss (the optimizer actually optimizes)."""
+    vae = AutoencoderKL(block_out_channels=(8, 8, 16))
+    img = jnp.zeros((1, 32, 32, 3))
+    params = vae.init(key, img)
+    state = create_train_state(vae.apply, params, make_optimizer(1e-3))
+    step = make_vae_train_step(vae)
+    rng = np.random.default_rng(0)
+    batch = {"img": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))}
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(m["rec"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
+def test_latent_base_train_step(key):
+    """Base-UNet training step (gradients to the UNet itself): finite loss
+    and the UNet params move while the frozen VAE stays untouched."""
+    unet, vae, sched, unet_params, vae_params, prompt, batch = _setup(key)
+    state = create_train_state(unet.apply, unet_params, make_optimizer(1e-4))
+    step = make_latent_base_train_step(unet, vae, sched, prompt)
+    state, m = step(state, {"vae": vae_params}, batch, key)
+    assert np.isfinite(float(m["loss"]))
+    before = jax.tree_util.tree_leaves(unet_params)
+    after = jax.tree_util.tree_leaves(state.params)
+    assert any(float(jnp.abs(a - b).max()) > 0 for a, b in zip(after, before))
+
+
+@pytest.mark.slow
+def test_run_phantom_latent_smoke():
+    """End-to-end structure of the phantom latent parity leg at toy scale:
+    all rows present, finite, with paired-delta stats (eval/parity.py::
+    run_phantom_latent; reference src/adapters/res_srdiff.py:36-105).  Not
+    a fidelity claim — that's the PARITY_r08 artifact's job."""
+    from mrisr_tpu.eval.parity import run_phantom_latent
+
+    rep = run_phantom_latent(
+        res=32, n_train=8, n_test=2, batch=2, vae_steps=2, base_steps=2,
+        cn_steps=2, lora_steps=2, num_inference_steps=2, sample_seeds=(2,),
+    )
+    for row in ("base_unet", "controlnet", "lora"):
+        assert np.isfinite(rep[row]["mean"]["psnr"])
+        assert len(rep[row]["per_image"]["psnr"]) == 2
+        assert "delta_vs_bicubic_psnr" in rep[row]
+        assert isinstance(rep[row]["beats_bicubic"], bool)
+    assert np.isfinite(rep["vae_recon_ceiling"]["psnr"])
+    assert np.isfinite(rep["bicubic_baseline"]["psnr"])
+    assert rep["config"]["vae"]["f"] == 4
 
 
 def test_adapter_train_step(key):

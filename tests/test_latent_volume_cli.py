@@ -37,6 +37,22 @@ def test_latent_pipeline_end_to_end(key):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_latent_precompute_cond_equivalence(key):
+    """Hoisting the step-invariant ControlNet condition embedding out of the
+    K-step scan (precompute_cond=True, the default) must be bit-equivalent
+    to embedding inside every step (PERF.md round-13)."""
+    pipe = _tiny_latent_pipeline(key)
+    pipe_off = LatentSRPipeline(
+        pipe.unet, pipe.controlnet, pipe.vae, pipe.sched, pipe.unet_params,
+        pipe.controlnet_params, pipe.vae_params, pipe.prompt_embeds,
+        precompute_cond=False,
+    )
+    lr = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (1, 64, 64, 1)), jnp.float32)
+    out_on = np.asarray(pipe.super_resolve(lr, key, num_inference_steps=3))
+    out_off = np.asarray(pipe_off.super_resolve(lr, key, num_inference_steps=3))
+    np.testing.assert_allclose(out_on, out_off, atol=1e-6, rtol=1e-6)
+
+
 def test_prepare_condition_image():
     x = jnp.zeros((2, 16, 16, 1))
     y = prepare_condition_image(x, (32, 32))

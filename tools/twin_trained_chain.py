@@ -1,0 +1,188 @@
+"""Torch-twin DDIM chain at TRAINED production weights (VERDICT r3 next #3).
+
+The round-3 chain differential (tests/test_resdiff_torch_parity.py:753,812)
+proves JAX-sampler == torch-reference-twin at RANDOM init (64^2, T=20).
+This tool upgrades that warrant to PRODUCTION WEIGHTS: it loads the 60k-step
+256^2 checkpoint (ckpt_256_r3.msgpack, the one behind PARITY_r07_256.json),
+transfers the EMA params into ``ResDiffUNetTorch`` via ``transfer_unet``,
+runs the 50-step DDIM leg (the benched production chain) on held-out
+recoverable-texture phantoms through BOTH stacks, and records final-image
+agreement + per-image PSNR deltas.
+
+Reference math being twinned: the runtime-cloned ResDiff
+``GaussianDiffusion.test(continous=False)`` (SURVEY.md §3.3) with the
+trailing-spaced K-step DDIM update; every schedule quantity re-derived from
+the betas in float64 on the torch side (the oracle never reads the JAX
+Schedule).
+
+CPU-only, single process.  Run:
+    PYTHONPATH=/root/repo python tools/twin_trained_chain.py \
+        --images 4 --steps 50 --out TWIN_TRAINED_r04.json
+"""
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_twin_module():
+    """Import the torch-twin oracle from tests/ (it deliberately lives
+    there: it ships no functionality, only the differential oracle)."""
+    spec = importlib.util.spec_from_file_location(
+        "resdiff_twin", REPO / "tests" / "test_resdiff_torch_parity.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["resdiff_twin"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=str(REPO / "ckpt_256_r3.msgpack"))
+    ap.add_argument("--images", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--inner-channel", type=int, default=32)
+    ap.add_argument("--cnn-steps", type=int, default=500,
+                    help="stage-1 CNN training steps for a realistic cond "
+                    "(the r3 run's CNN params were not checkpointed; any "
+                    "in-distribution cond validates the twin equally)")
+    ap.add_argument("--out", default=str(REPO / "TWIN_TRAINED_r04.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from flax import serialization
+
+    from mrisr_tpu.diffusion.schedules import resdiff_schedule, spaced_timesteps
+    from mrisr_tpu.eval.parity import _phantom_batches, run_phantom_cnn
+    from mrisr_tpu.models.resdiff_unet import ResDiffUNet
+    from mrisr_tpu.pipelines.sampler import sr3_ancestral_sample
+
+    twin = _load_twin_module()
+
+    t0 = time.time()
+    res, T, K = args.res, 1000, args.steps
+    # EXACT training config of the checkpointed run (tools/run_parity_256.sh
+    # -> eval/parity.py::run_phantom_resdiff: norm_groups=8, ca_kv_pool=0).
+    unet = ResDiffUNet(
+        image_size=res, inner_channel=args.inner_channel, norm_groups=8
+    )
+    blob = serialization.msgpack_restore(Path(args.ckpt).read_bytes())
+    params = blob["ema"]
+    print(f"[twin] loaded {args.ckpt} at step {int(np.asarray(blob['step']))}",
+          flush=True)
+
+    # Held-out phantoms (same generator + seed0 as the parity run's test
+    # set) and a freshly trained stage-1 CNN for a realistic condition.
+    lr_te, hr_te = _phantom_batches(args.images, res, seed0=1000)
+    if args.cnn_steps > 0:
+        cnn_res = run_phantom_cnn(steps=args.cnn_steps, res=res, n_train=32)
+        from mrisr_tpu.models.simple_cnn import SimpleCNN
+
+        cnn = SimpleCNN()
+        cond = np.asarray(
+            jax.jit(cnn.apply)(cnn_res["cnn_params"], jnp.asarray(lr_te))
+        ).astype(np.float32)
+        print(f"[twin] stage-1 CNN ready ({args.cnn_steps} steps, "
+              f"psnr={cnn_res['model']['psnr']:.2f})", flush=True)
+    else:
+        cond = lr_te.astype(np.float32)
+
+    sched = resdiff_schedule(T)
+    rng = np.random.default_rng(123)
+    x_T = rng.standard_normal(cond.shape).astype(np.float32)
+
+    # --- JAX leg: the production lax.scan DDIM chain -----------------------
+    cond_j = jnp.asarray(cond)
+    static = unet.apply(params, cond_j, method="compute_static")
+
+    def eps_fn(x_t, gamma):
+        return unet.apply(
+            params, jnp.concatenate([cond_j, x_t], axis=-1), gamma, static=static
+        )
+
+    out_j = np.asarray(
+        jax.jit(
+            lambda xT: sr3_ancestral_sample(
+                sched, eps_fn, xT, jax.random.PRNGKey(0), num_steps=K
+            )
+        )(jnp.asarray(x_T))
+    )
+    print(f"[twin] JAX {K}-step DDIM chain done at {time.time()-t0:.0f}s",
+          flush=True)
+
+    # --- Torch leg: reference-twin stepping, float64-re-derived schedule ---
+    tm = twin.ResDiffUNetTorch(
+        image_size=res, inner_channel=args.inner_channel, norm_groups=8
+    )
+    tm.eval()
+    twin.transfer_unet(params, tm)
+    tab = twin._sr3_schedule_np(T)
+    ts = spaced_timesteps(T, K, "trailing")
+    cond_t = twin.nchw(cond)
+    xt = twin.nchw(x_T)
+    with torch.no_grad():
+        for i, t in enumerate(ts):
+            tp = int(ts[i + 1]) if i + 1 < len(ts) else -1
+            gamma = torch.from_numpy(tab["sqrt_ac"][t : t + 1])
+            eps = tm(torch.cat([cond_t, xt], dim=1), gamma)
+            ac_t = float(tab["ac"][t])
+            ac_p = float(tab["ac"][tp]) if tp >= 0 else 1.0
+            x0 = (xt - float(tab["sqrt_1m_ac"][t]) * eps) / float(tab["sqrt_ac"][t])
+            x0 = x0.clamp(-1.0, 1.0)
+            eps_c = (xt - math.sqrt(ac_t) * x0) / math.sqrt(1.0 - ac_t)
+            xt = math.sqrt(ac_p) * x0 + math.sqrt(max(1.0 - ac_p, 0.0)) * eps_c
+            if (i + 1) % 10 == 0:
+                print(f"[twin] torch step {i+1}/{K} at {time.time()-t0:.0f}s",
+                      flush=True)
+    out_t = twin.nhwc(xt)
+
+    # --- Agreement ---------------------------------------------------------
+    from mrisr_tpu.eval.metrics import compute_mri_metrics_per_image
+
+    max_abs = float(np.abs(out_j - out_t).max())
+
+    def score(resid):
+        sr = np.clip(cond + resid, 0, 1).transpose(0, 3, 1, 2)
+        gt = np.clip(hr_te, 0, 1).transpose(0, 3, 1, 2)
+        p, s, n, h = compute_mri_metrics_per_image(jnp.asarray(sr), jnp.asarray(gt))
+        return np.asarray(p).astype(float)
+
+    psnr_j, psnr_t = score(out_j), score(out_t)
+    dpsnr = np.abs(psnr_j - psnr_t)
+    report = {
+        "checkpoint": str(args.ckpt),
+        "checkpoint_step": int(np.asarray(blob["step"])),
+        "config": {"res": res, "inner_channel": args.inner_channel,
+                   "norm_groups": 8, "T": T, "ddim_steps": K,
+                   "images": args.images, "cnn_steps": args.cnn_steps},
+        "final_image_max_abs_delta": max_abs,
+        "psnr_jax_per_image": psnr_j.tolist(),
+        "psnr_torch_per_image": psnr_t.tolist(),
+        "psnr_abs_delta_max": float(dpsnr.max()),
+        "agreement": {
+            "final_image_atol_5e3": bool(max_abs < 5e-3),
+            "psnr_within_0p01db": bool(dpsnr.max() < 0.01),
+        },
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    Path(args.out).write_text(json.dumps(report, indent=2))
+    print(json.dumps(report["agreement"]), f"max|delta|={max_abs:.2e}",
+          f"max|dPSNR|={dpsnr.max():.5f} dB", flush=True)
+
+
+if __name__ == "__main__":
+    main()
