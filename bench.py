@@ -85,6 +85,12 @@ def main():
         "round-13 hoist; default = hoisted)",
     )
     ap.add_argument(
+        "--fused", action="store_true",
+        help="latent pipeline A/B: run the UNet and ControlNet down+mid "
+        "towers as ONE vmapped program over a stacked weight axis "
+        "(models/fused.py; identical math, PERF.md round-13 verdict)",
+    )
+    ap.add_argument(
         "--pipeline", default="resdiff", choices=["resdiff", "latent"],
         help="'resdiff' = the flagship headline; 'latent' = the 20-step "
         "ControlNet+SDUNet+VAE chain (BASELINE configs 2-3, reference "
@@ -280,6 +286,7 @@ def bench_latent(args):
     pipe = LatentSRPipeline(
         unet, cn, vae, sched, unet_params, cn_params, vae_params, prompt,
         precompute_cond=not args.no_precompute_cond,
+        fused_towers=args.fused,
     )
 
     def fresh():
@@ -325,6 +332,10 @@ def bench_latent(args):
                 "cond_embedding": (
                     "per-step (A/B)" if args.no_precompute_cond
                     else "hoisted once/chain"
+                ),
+                "towers": (
+                    "fused (vmapped stacked-weight encoder)" if args.fused
+                    else "sequential ControlNet->UNet"
                 ),
             }
         )

@@ -61,6 +61,7 @@ class LatentSRPipeline:
         vae_params: Any,
         prompt_embeds: jnp.ndarray,
         precompute_cond: bool = True,
+        fused_towers: bool = False,
     ):
         self.unet = unet
         self.controlnet = controlnet
@@ -74,6 +75,15 @@ class LatentSRPipeline:
         # K-step scan (computed once per chain, PERF.md round-13).  False
         # restores the in-scan embedding for A/B.
         self.precompute_cond = precompute_cond
+        # Run the (topologically identical, dataflow-independent) UNet and
+        # ControlNet down+mid towers as ONE vmapped program over a stacked
+        # weight axis (models/fused.py; PERF.md round-11's ~25% candidate,
+        # A/B verdict in PERF.md round-13).  Identical math either way.
+        self.fused_towers = fused_towers
+        if fused_towers:
+            from mrisr_tpu.models.fused import check_fusable
+
+            check_fusable(unet, controlnet)
         # Program identity for the jit cache (see ResDiffPipeline): ``self``
         # is a static jit arg, params/prompt embeddings are TRACED operands
         # of ``super_resolve_with``, and the schedule arrays are constants
@@ -88,7 +98,8 @@ class LatentSRPipeline:
             digest.update(str(arr.dtype).encode())
             digest.update(arr.tobytes())
         self._static_key = (
-            type(self), unet, controlnet, vae, digest.digest(), precompute_cond
+            type(self), unet, controlnet, vae, digest.digest(), precompute_cond,
+            fused_towers,
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
@@ -118,24 +129,35 @@ class LatentSRPipeline:
         )
 
         cond_emb = None
-        if self.precompute_cond:
+        if self.precompute_cond or self.fused_towers:
             from mrisr_tpu.models.controlnet import embed_condition
 
             cond_emb = embed_condition(self.controlnet, controlnet_params, cond_image)
 
-        def eps_fn(x_t, t):
-            down_res, mid_res = self.controlnet.apply(
-                controlnet_params, x_t, t, ctx, cond_image,
-                cond_embedding=cond_emb,
-            )
-            return self.unet.apply(
-                unet_params,
-                x_t,
-                t,
-                ctx,
-                down_block_additional_residuals=down_res,
-                mid_block_additional_residual=mid_res,
-            )
+        if self.fused_towers:
+            from mrisr_tpu.models.fused import fused_eps, stack_tower_params
+
+            stacked = stack_tower_params(unet_params, controlnet_params)
+
+            def eps_fn(x_t, t):
+                return fused_eps(
+                    self.unet, self.controlnet, unet_params, controlnet_params,
+                    stacked, x_t, t, ctx, cond_emb,
+                )
+        else:
+            def eps_fn(x_t, t):
+                down_res, mid_res = self.controlnet.apply(
+                    controlnet_params, x_t, t, ctx, cond_image,
+                    cond_embedding=cond_emb,
+                )
+                return self.unet.apply(
+                    unet_params,
+                    x_t,
+                    t,
+                    ctx,
+                    down_block_additional_residuals=down_res,
+                    mid_block_additional_residual=mid_res,
+                )
 
         latents = res_shift_sample(
             self.sched, eps_fn, anchor, key, num_steps=num_inference_steps
