@@ -115,6 +115,21 @@ class LatentSRPipeline:
     ) -> jnp.ndarray:
         """Weights-as-operands variant: swapping params (LoRA merges,
         restored checkpoints, EMA snapshots) reuses the compiled program."""
+        return self._super_resolve_impl(
+            unet_params, controlnet_params, vae_params, prompt_embeds,
+            lr, key, num_inference_steps,
+        )
+
+    def _super_resolve_impl(
+        self,
+        unet_params: Any,
+        controlnet_params: Any,
+        vae_params: Any,
+        prompt_embeds: jnp.ndarray,
+        lr: jnp.ndarray,
+        key: jax.Array,
+        num_inference_steps: int,
+    ) -> jnp.ndarray:
         B = lr.shape[0]
         cond_image = prepare_condition_image(lr, (lr.shape[1], lr.shape[2]))
         lr_rgb = jnp.repeat(lr, 3, axis=-1) if lr.shape[-1] == 1 else lr
@@ -176,6 +191,49 @@ class LatentSRPipeline:
         return self.super_resolve_with(
             self.unet_params, self.controlnet_params, self.vae_params,
             self.prompt_embeds, lr, key, num_inference_steps,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
+    def super_resolve_many(
+        self,
+        unet_params: Any,
+        controlnet_params: Any,
+        vae_params: Any,
+        prompt_embeds: jnp.ndarray,
+        lr_stack: jnp.ndarray,  # [G, B, H, W, 1]
+        keys: jax.Array,  # [G, 2]
+        num_inference_steps: int = 20,
+    ) -> jnp.ndarray:
+        """G sequential 20-step latent chains in ONE program ``[G, B, ...]``
+        in/out — the same volume-serving dispatch amortization as
+        ``ResDiffPipeline.super_resolve_many`` (``resdiff.py:151``):
+        ``lax.scan`` over the chain axis runs the chains back-to-back
+        device-side so one host dispatch (and its ~10-60 ms relay overhead,
+        PERF.md round-7) serves G batches.  Per-chain math is identical to
+        :meth:`super_resolve_with`; memory stays flat (one chain's live set
+        at a time plus the stacked IO)."""
+
+        def body(carry, xs):
+            lr, k = xs
+            return carry, self._super_resolve_impl(
+                unet_params, controlnet_params, vae_params, prompt_embeds,
+                lr, k, num_inference_steps,
+            )
+
+        _, out = jax.lax.scan(body, (), (lr_stack, keys))
+        return out
+
+    def super_resolve_group(
+        self,
+        lr_stack: jnp.ndarray,  # [G, B, H, W, 1]
+        keys: jax.Array,  # [G, 2]
+        num_steps: int = 20,
+    ) -> jnp.ndarray:
+        """Uniform grouped-dispatch entry point (``pipelines/volume.py``
+        calls this regardless of pipeline family)."""
+        return self.super_resolve_many(
+            self.unet_params, self.controlnet_params, self.vae_params,
+            self.prompt_embeds, lr_stack, keys, num_steps,
         )
 
     def __hash__(self):

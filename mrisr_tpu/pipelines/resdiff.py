@@ -178,6 +178,20 @@ class ResDiffPipeline:
         _, out = jax.lax.scan(body, (), (lr_stack, keys))
         return out
 
+    def super_resolve_group(
+        self,
+        lr_stack: jnp.ndarray,
+        keys: jax.Array,
+        num_steps: int | None = 50,
+        spacing: str = "trailing",
+    ) -> jnp.ndarray:
+        """Uniform grouped-dispatch entry point (``pipelines/volume.py``
+        calls this on any pipeline family; ``LatentSRPipeline`` has the
+        matching method)."""
+        return self.super_resolve_many(
+            self.cnn_params, self.unet_params, lr_stack, keys, num_steps, spacing
+        )
+
     def super_resolve(
         self,
         lr: jnp.ndarray,

@@ -179,7 +179,7 @@ def super_resolve_volume(
         chain_group = int(os.environ.get("MRISR_VOLUME_CHAINS", "1"))
     grouped = (
         chain_group > 1
-        and hasattr(pipeline, "super_resolve_many")
+        and hasattr(pipeline, "super_resolve_group")
         and not threads
         and window <= 0
     )
@@ -272,9 +272,7 @@ def super_resolve_volume(
             keys = jnp.stack([jax.random.fold_in(key, s) for s in grp])
             stack.block_until_ready()
             t2 = _time.perf_counter()
-            sr = pipeline.super_resolve_many(
-                pipeline.cnn_params, pipeline.unet_params, stack, keys, num_steps
-            )
+            sr = pipeline.super_resolve_group(stack, keys, num_steps)
             sr.block_until_ready()
             t3 = _time.perf_counter()
             if dev_crop and crop_fn is None:

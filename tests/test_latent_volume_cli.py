@@ -186,3 +186,19 @@ def test_volume_pipeline_mesh_sharded(tmp_path, key):
     )
     assert out.shape == vol.shape
     assert seen_shardings and all(not s.is_fully_replicated for s in seen_shardings)
+
+
+def test_latent_grouped_dispatch_matches_single(key):
+    """LatentSRPipeline.super_resolve_group (G chains, one lax.scan program)
+    == per-chain super_resolve, chain for chain (the volume-serving
+    amortization pattern, mirroring ResDiffPipeline.super_resolve_many)."""
+    pipe = _tiny_latent_pipeline(key)
+    rng = np.random.default_rng(5)
+    stack = jnp.asarray(rng.standard_normal((2, 1, 64, 64, 1)), jnp.float32)
+    keys = jnp.stack([jax.random.fold_in(key, i) for i in range(2)])
+    grouped = np.asarray(pipe.super_resolve_group(stack, keys, 3))
+    for g in range(2):
+        single = np.asarray(
+            pipe.super_resolve(stack[g], keys[g], num_inference_steps=3)
+        )
+        np.testing.assert_allclose(grouped[g], single, atol=1e-5, rtol=1e-5)
