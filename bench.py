@@ -86,9 +86,14 @@ def main():
     )
     ap.add_argument(
         "--fused", action="store_true",
-        help="latent pipeline A/B: run the UNet and ControlNet down+mid "
-        "towers as ONE vmapped program over a stacked weight axis "
-        "(models/fused.py; identical math, PERF.md round-13 verdict)",
+        help="latent pipeline: force the fused (vmapped stacked-weight) "
+        "UNet+ControlNet encoder program — already the default when the "
+        "configs match; measured +30% (PERF.md round-13)",
+    )
+    ap.add_argument(
+        "--no-fused", action="store_true",
+        help="latent pipeline A/B: force the sequential ControlNet->UNet "
+        "program (the pre-round-13 baseline)",
     )
     ap.add_argument(
         "--pipeline", default="resdiff", choices=["resdiff", "latent"],
@@ -283,10 +288,11 @@ def bench_latent(args):
     vae_params = cast(vae.init(k3, img3))
     prompt = jnp.asarray(rng.standard_normal(ctx_shape), dtype)
     sched = sd15_schedule()
+    fused = True if args.fused else (False if args.no_fused else None)
     pipe = LatentSRPipeline(
         unet, cn, vae, sched, unet_params, cn_params, vae_params, prompt,
         precompute_cond=not args.no_precompute_cond,
-        fused_towers=args.fused,
+        fused_towers=fused,
     )
 
     def fresh():
@@ -334,7 +340,7 @@ def bench_latent(args):
                     else "hoisted once/chain"
                 ),
                 "towers": (
-                    "fused (vmapped stacked-weight encoder)" if args.fused
+                    "fused (vmapped stacked-weight encoder)" if pipe.fused_towers
                     else "sequential ControlNet->UNet"
                 ),
             }

@@ -273,6 +273,10 @@ def main(argv=None):
     p.add_argument("--texture-mode", default="recoverable",
                    choices=["recoverable", "legacy"])
     p.add_argument("--lora-rank", type=int, default=4)
+    p.add_argument("--chunk-steps", type=int, default=0,
+                   help="scanned-training steps per dispatch (0 = per-step "
+                        "loop); on TPU through the relay keep each chunk "
+                        "under ~60-90s of chip time")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -389,6 +393,7 @@ def main(argv=None):
             degrade_scale=args.degrade_scale,
             texture_mode=args.texture_mode,
             lora_rank=args.lora_rank,
+            chunk_steps=args.chunk_steps,
         )
         Path(args.out).write_text(json.dumps(report, indent=2))
         for k in ("bicubic_baseline", "vae_recon_ceiling"):

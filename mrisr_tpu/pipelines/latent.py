@@ -61,7 +61,7 @@ class LatentSRPipeline:
         vae_params: Any,
         prompt_embeds: jnp.ndarray,
         precompute_cond: bool = True,
-        fused_towers: bool = False,
+        fused_towers: bool | None = None,
     ):
         self.unet = unet
         self.controlnet = controlnet
@@ -77,13 +77,23 @@ class LatentSRPipeline:
         self.precompute_cond = precompute_cond
         # Run the (topologically identical, dataflow-independent) UNet and
         # ControlNet down+mid towers as ONE vmapped program over a stacked
-        # weight axis (models/fused.py; PERF.md round-11's ~25% candidate,
-        # A/B verdict in PERF.md round-13).  Identical math either way.
-        self.fused_towers = fused_towers
-        if fused_towers:
-            from mrisr_tpu.models.fused import check_fusable
+        # weight axis (models/fused.py).  Identical math either way;
+        # measured +30% on chip at SD1.5 production shapes (2.05 -> 2.67
+        # slices/s/chip, PERF.md round-13 A/B) — so the DEFAULT (None) is
+        # auto: fuse whenever the two encoder configs match (always true
+        # for a ControlNet built from_unet-style, the only kind the
+        # reference path produces).  False forces the sequential program.
+        from mrisr_tpu.models.fused import check_fusable
 
+        if fused_towers is None:
+            try:
+                check_fusable(unet, controlnet)
+                fused_towers = True
+            except ValueError:
+                fused_towers = False
+        elif fused_towers:
             check_fusable(unet, controlnet)
+        self.fused_towers = fused_towers
         # Program identity for the jit cache (see ResDiffPipeline): ``self``
         # is a static jit arg, params/prompt embeddings are TRACED operands
         # of ``super_resolve_with``, and the schedule arrays are constants

@@ -189,6 +189,58 @@ def make_lora_train_step(
     return step
 
 
+def make_latent_train_many(step: Callable) -> Callable:
+    """Scanned K-step wrapper around any ``(state, frozen, batch, key)``
+    latent train step (base / ControlNet / LoRA / adapter factories above).
+
+    ``many(state, frozen, lr_all, hr_all, idx, step_ids, key) ->
+    (state, losses)`` runs ``K = idx.shape[0]`` optimizer steps inside ONE
+    jitted ``lax.scan`` over a device-resident training set — the same
+    dispatch-amortization as ``train/steps.py::make_resdiff_train_many``
+    (through the axon relay every dispatch carries ~50-80 ms RPC overhead,
+    so per-step training is RPC-bound).  Batch ``i`` is the gather
+    ``(lr_all[idx[i]], hr_all[idx[i]])`` and its PRNG key is
+    ``fold_in(key, step_ids[i])`` — exactly the walk the per-step loop in
+    ``eval/parity.py::run_phantom_latent`` derives, so a scanned run
+    reproduces the loop's trajectory (pinned in tests/test_latent_train.py).
+
+    The inner ``step`` may be the already-jitted factory output: jit under
+    trace inlines.
+    """
+
+    @jax.jit
+    def many(state, frozen, lr_all, hr_all, idx, step_ids, key):
+        def body(st, per):
+            ix, sid = per
+            batch = {"lr": lr_all[ix], "hr": hr_all[ix]}
+            st, m = step(st, frozen, batch, jax.random.fold_in(key, sid))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, (idx, step_ids))
+
+    return many
+
+
+def make_vae_train_many(step: Callable) -> Callable:
+    """Scanned K-step wrapper for :func:`make_vae_train_step` outputs.
+
+    ``many(state, pool, idx, step_ids, key) -> (state, [K, 3] losses)``
+    with per-step rows ``(loss, rec, kl)``; key/batch walk as in
+    :func:`make_latent_train_many`.
+    """
+
+    @jax.jit
+    def many(state, pool, idx, step_ids, key):
+        def body(st, per):
+            ix, sid = per
+            st, m = step(st, {"img": pool[ix]}, jax.random.fold_in(key, sid))
+            return st, jnp.stack([m["loss"], m["rec"], m["kl"]])
+
+        return jax.lax.scan(body, state, (idx, step_ids))
+
+    return many
+
+
 def make_adapter_train_step(
     unet, adapter, vae, sched: Schedule, prompt_embeds,
 ) -> Callable:

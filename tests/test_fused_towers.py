@@ -51,7 +51,7 @@ def test_fused_pipeline_matches_unfused():
     unet, cn, vae, up, cp, vp, prompt, res = _tiny_stack()
     sched = sd15_schedule()
     common = (unet, cn, vae, sched, up, cp, vp, prompt)
-    pipe_ref = LatentSRPipeline(*common, precompute_cond=True)
+    pipe_ref = LatentSRPipeline(*common, precompute_cond=True, fused_towers=False)
     pipe_fused = LatentSRPipeline(*common, precompute_cond=True, fused_towers=True)
 
     lr = jnp.asarray(
@@ -76,12 +76,22 @@ def test_fused_requires_matching_configs():
         )
 
 
-def test_fused_program_identity_differs():
-    """fused on/off must be distinct jit program keys (no silent cache mix)."""
+def test_fused_program_identity_and_auto_default():
+    """fused on/off are distinct jit program keys (no silent cache mix);
+    the default (None) auto-resolves to fused for matching configs and to
+    sequential for mismatched ones."""
     unet, cn, vae, up, cp, vp, prompt, _ = _tiny_stack()
     sched = sd15_schedule()
-    a = LatentSRPipeline(unet, cn, vae, sched, up, cp, vp, prompt)
-    b = LatentSRPipeline(unet, cn, vae, sched, up, cp, vp, prompt, fused_towers=True)
-    c = LatentSRPipeline(unet, cn, vae, sched, up, cp, vp, prompt)
-    assert a != b and hash(a) != hash(b)
-    assert a == c and hash(a) == hash(c)
+    auto = LatentSRPipeline(unet, cn, vae, sched, up, cp, vp, prompt)
+    off = LatentSRPipeline(unet, cn, vae, sched, up, cp, vp, prompt, fused_towers=False)
+    on = LatentSRPipeline(unet, cn, vae, sched, up, cp, vp, prompt, fused_towers=True)
+    assert auto.fused_towers is True  # matching configs -> fused by default
+    assert auto == on and hash(auto) == hash(on)
+    assert auto != off and hash(auto) != hash(off)
+
+    # mismatched configs: auto falls back to sequential instead of raising
+    cn_mismatch = ControlNet(block_out_channels=(8, 16, 32, 32), heads=2, context_dim=16)
+    auto_seq = LatentSRPipeline(
+        unet, cn_mismatch, vae, sched, up, cp, vp, prompt
+    )
+    assert auto_seq.fused_towers is False

@@ -133,3 +133,61 @@ def test_adapter_train_step(key):
     frozen = {"unet": unet_params, "vae": vae_params}
     state, m = step(state, frozen, batch, key)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_latent_train_many_matches_loop(key):
+    """Scanned K-step dispatch (make_latent_train_many) reproduces the
+    per-step loop's trajectory exactly (same gather + fold_in walk — the
+    chunked-TPU contract run_phantom_latent(chunk_steps=...) relies on)."""
+    from mrisr_tpu.train.latent import make_latent_train_many
+
+    unet, vae, sched, unet_params, vae_params, prompt, _ = _setup(key)
+    lr_all = jnp.asarray(np.random.default_rng(0).standard_normal((6, 64, 64, 1)), jnp.float32)
+    hr_all = jnp.asarray(np.random.default_rng(1).standard_normal((6, 64, 64, 1)), jnp.float32)
+    step = make_latent_base_train_step(unet, vae, sched, prompt)
+    frozen = {"vae": vae_params}
+    K, B = 3, 2
+    idx = np.stack([np.random.default_rng(100 + i).integers(0, 6, B) for i in range(K)])
+    ids = np.arange(100, 100 + K)
+
+    st_loop = create_train_state(unet.apply, unet_params, make_optimizer(1e-3))
+    for i in range(K):
+        b = {"lr": lr_all[idx[i]], "hr": hr_all[idx[i]]}
+        st_loop, m = step(st_loop, frozen, b, jax.random.fold_in(key, int(ids[i])))
+
+    st_scan = create_train_state(unet.apply, unet_params, make_optimizer(1e-3))
+    many = make_latent_train_many(step)
+    st_scan, losses = many(
+        st_scan, frozen, lr_all, hr_all, jnp.asarray(idx), jnp.asarray(ids), key
+    )
+    assert losses.shape == (K,)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_loop.params),
+        jax.tree_util.tree_leaves(st_scan.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+
+
+def test_vae_train_many_matches_loop(key):
+    from mrisr_tpu.train.latent import make_vae_train_many
+
+    _, vae, _, _, vae_params, _, _ = _setup(key)
+    pool = jnp.asarray(np.random.default_rng(2).standard_normal((5, 64, 64, 3)), jnp.float32)
+    step = make_vae_train_step(vae)
+    K, B = 3, 2
+    idx = np.stack([np.random.default_rng(i).integers(0, 5, B) for i in range(K)])
+    ids = np.arange(K)
+
+    st_loop = create_train_state(vae.apply, vae_params, make_optimizer(1e-3))
+    for i in range(K):
+        st_loop, m = step(st_loop, {"img": pool[idx[i]]}, jax.random.fold_in(key, i))
+
+    st_scan = create_train_state(vae.apply, vae_params, make_optimizer(1e-3))
+    many = make_vae_train_many(step)
+    st_scan, losses = many(st_scan, pool, jnp.asarray(idx), jnp.asarray(ids), key)
+    assert losses.shape == (K, 3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_loop.params),
+        jax.tree_util.tree_leaves(st_scan.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
