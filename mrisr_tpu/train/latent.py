@@ -202,7 +202,9 @@ def make_latent_train_many(step: Callable) -> Callable:
     ``(lr_all[idx[i]], hr_all[idx[i]])`` and its PRNG key is
     ``fold_in(key, step_ids[i])`` — exactly the walk the per-step loop in
     ``eval/parity.py::run_phantom_latent`` derives, so a scanned run
-    reproduces the loop's trajectory (pinned in tests/test_latent_train.py).
+    reproduces the loop's trajectory up to XLA lowering reassociation
+    (~1e-6 per step on CPU; pinned with SGD in tests/test_latent_train.py —
+    same batches, same keys, same losses).
 
     The inner ``step`` may be the already-jitted factory output: jit under
     trace inlines.

@@ -141,53 +141,75 @@ def test_latent_train_many_matches_loop(key):
     chunked-TPU contract run_phantom_latent(chunk_steps=...) relies on)."""
     from mrisr_tpu.train.latent import make_latent_train_many
 
-    unet, vae, sched, unet_params, vae_params, prompt, _ = _setup(key)
-    lr_all = jnp.asarray(np.random.default_rng(0).standard_normal((6, 64, 64, 1)), jnp.float32)
-    hr_all = jnp.asarray(np.random.default_rng(1).standard_normal((6, 64, 64, 1)), jnp.float32)
+    # Smaller than _setup (f=4 VAE, 32^2 images -> 8^2 latents): the scan
+    # compiles the whole K-step program, so keep it cheap on one core.
+    unet = SDUNet(**TINY)
+    vae = AutoencoderKL(block_out_channels=(8, 8, 16))
+    sched = sd15_schedule(zero_terminal_snr=False, timesteps=50)
+    k1, k2 = jax.random.split(key)
+    unet_params = unet.init(k1, jnp.zeros((1, 8, 8, 4)), jnp.array([1]), jnp.zeros((1, 7, 16)))
+    vae_params = vae.init(k2, jnp.zeros((1, 32, 32, 3)))
+    prompt = jnp.ones((1, 7, 16)) * 0.1
+    lr_all = jnp.asarray(np.random.default_rng(0).standard_normal((6, 32, 32, 1)), jnp.float32)
+    hr_all = jnp.asarray(np.random.default_rng(1).standard_normal((6, 32, 32, 1)), jnp.float32)
     step = make_latent_base_train_step(unet, vae, sched, prompt)
     frozen = {"vae": vae_params}
     K, B = 3, 2
     idx = np.stack([np.random.default_rng(100 + i).integers(0, 6, B) for i in range(K)])
     ids = np.arange(100, 100 + K)
 
-    st_loop = create_train_state(unet.apply, unet_params, make_optimizer(1e-3))
+    # SGD, not Adam: the scanned program's XLA lowering differs from the
+    # loop's at the 1e-6 level (fusion reassociation), and Adam's
+    # eps-normalized updates amplify that to O(1) RELATIVE differences on
+    # zero-init leaves whose true gradient is ~0.  SGD keeps the noise
+    # proportional, while a wrong key/idx walk still diverges at O(grad).
+    import optax
+    st_loop = create_train_state(unet.apply, unet_params, optax.sgd(1e-2))
+    losses_loop = []
     for i in range(K):
         b = {"lr": lr_all[idx[i]], "hr": hr_all[idx[i]]}
         st_loop, m = step(st_loop, frozen, b, jax.random.fold_in(key, int(ids[i])))
+        losses_loop.append(float(m["loss"]))
 
-    st_scan = create_train_state(unet.apply, unet_params, make_optimizer(1e-3))
+    st_scan = create_train_state(unet.apply, unet_params, optax.sgd(1e-2))
     many = make_latent_train_many(step)
     st_scan, losses = many(
         st_scan, frozen, lr_all, hr_all, jnp.asarray(idx), jnp.asarray(ids), key
     )
     assert losses.shape == (K,)
+    np.testing.assert_allclose(np.asarray(losses), losses_loop, rtol=1e-4)
     for a, b in zip(
         jax.tree_util.tree_leaves(st_loop.params),
         jax.tree_util.tree_leaves(st_scan.params),
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
 
 
 def test_vae_train_many_matches_loop(key):
     from mrisr_tpu.train.latent import make_vae_train_many
 
-    _, vae, _, _, vae_params, _, _ = _setup(key)
-    pool = jnp.asarray(np.random.default_rng(2).standard_normal((5, 64, 64, 3)), jnp.float32)
+    vae = AutoencoderKL(block_out_channels=(8, 8, 16))
+    vae_params = vae.init(key, jnp.zeros((1, 32, 32, 3)))
+    pool = jnp.asarray(np.random.default_rng(2).standard_normal((5, 32, 32, 3)), jnp.float32)
     step = make_vae_train_step(vae)
     K, B = 3, 2
     idx = np.stack([np.random.default_rng(i).integers(0, 5, B) for i in range(K)])
     ids = np.arange(K)
 
-    st_loop = create_train_state(vae.apply, vae_params, make_optimizer(1e-3))
+    import optax
+    st_loop = create_train_state(vae.apply, vae_params, optax.sgd(1e-2))  # SGD: see above
+    rec_loop = []
     for i in range(K):
         st_loop, m = step(st_loop, {"img": pool[idx[i]]}, jax.random.fold_in(key, i))
+        rec_loop.append(float(m["rec"]))
 
-    st_scan = create_train_state(vae.apply, vae_params, make_optimizer(1e-3))
+    st_scan = create_train_state(vae.apply, vae_params, optax.sgd(1e-2))
     many = make_vae_train_many(step)
     st_scan, losses = many(st_scan, pool, jnp.asarray(idx), jnp.asarray(ids), key)
     assert losses.shape == (K, 3)
+    np.testing.assert_allclose(np.asarray(losses[:, 1]), rec_loop, rtol=1e-4)
     for a, b in zip(
         jax.tree_util.tree_leaves(st_loop.params),
         jax.tree_util.tree_leaves(st_scan.params),
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
