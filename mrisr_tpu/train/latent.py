@@ -123,9 +123,29 @@ def make_latent_base_train_step(
 
 def make_controlnet_train_step(
     unet, controlnet, vae, sched: Schedule, prompt_embeds, empty_embeds=None,
-    proportion_empty_prompts: float = 0.1,
+    proportion_empty_prompts: float = 0.1, fused: bool | None = None,
 ) -> Callable:
-    """ControlNet fine-tuning: state.params = controlnet params."""
+    """ControlNet fine-tuning: state.params = controlnet params.
+
+    ``fused`` runs the ControlNet and (frozen) UNet down+mid towers as ONE
+    vmapped stacked-weight program per step — the same rewrite that
+    measured +30% on the 20-step serving chain (``models/fused.py``,
+    PERF.md round-13); gradients flow through the stack to the ControlNet
+    lane only.  Default (None) = auto: fused whenever the two encoder
+    configs match.  Identical math either way (equivalence pinned in
+    tests/test_latent_train.py::test_controlnet_fused_train_step_matches).
+    """
+    from mrisr_tpu.models.controlnet import embed_condition
+    from mrisr_tpu.models.fused import check_fusable, fused_eps, stack_tower_params
+
+    if fused is None:
+        try:
+            check_fusable(unet, controlnet)
+            fused = True
+        except ValueError:
+            fused = False
+    elif fused:
+        check_fusable(unet, controlnet)
 
     @jax.jit
     def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
@@ -142,12 +162,20 @@ def make_controlnet_train_step(
         ctx = _cfg_dropout(ctx, empty_embeds, k_cfg, proportion_empty_prompts)
 
         def loss_fn(cn_params):
-            down_res, mid_res = controlnet.apply(cn_params, x_t, t, ctx, lr_rgb)
-            eps_pred = unet.apply(
-                frozen["unet"], x_t, t, ctx,
-                down_block_additional_residuals=down_res,
-                mid_block_additional_residual=mid_res,
-            )
+            if fused:
+                cond_emb = embed_condition(controlnet, cn_params, lr_rgb)
+                stacked = stack_tower_params(frozen["unet"], cn_params)
+                eps_pred = fused_eps(
+                    unet, controlnet, frozen["unet"], cn_params, stacked,
+                    x_t, t, ctx, cond_emb,
+                )
+            else:
+                down_res, mid_res = controlnet.apply(cn_params, x_t, t, ctx, lr_rgb)
+                eps_pred = unet.apply(
+                    frozen["unet"], x_t, t, ctx,
+                    down_block_additional_residuals=down_res,
+                    mid_block_additional_residual=mid_res,
+                )
             return l2(eps_pred, eps)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

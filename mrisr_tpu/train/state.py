@@ -54,7 +54,10 @@ def make_lr_schedule(
             init_value=0.0,
             peak_value=base_lr,
             warmup_steps=max(warmup_steps, 1),
-            decay_steps=total_steps,
+            # decay_steps is the TOTAL length incl. warmup; clamp so short
+            # smoke runs (steps < warmup) don't hit optax's negative-length
+            # ValueError.
+            decay_steps=max(total_steps, max(warmup_steps, 1) + 1),
             end_value=0.0,
         )
     if name == "linear":

@@ -213,3 +213,36 @@ def test_vae_train_many_matches_loop(key):
         jax.tree_util.tree_leaves(st_scan.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_controlnet_fused_train_step_matches(key):
+    """Fused stacked-tower ControlNet training (gradients through the vmap
+    to the CN lane only) == the sequential CN->frozen-UNet step."""
+    import optax
+
+    unet, vae, sched, unet_params, vae_params, prompt, batch = _setup(key)
+    cn = ControlNet(block_out_channels=TINY["block_out_channels"], heads=2, context_dim=16)
+    cn_params = cn.init(
+        key, jnp.zeros((1, 8, 8, 4)), jnp.array([1]), jnp.zeros((1, 7, 16)),
+        jnp.zeros((1, 64, 64, 3)),
+    )
+    # Perturb the zero-init output convs so the residual join contributes.
+    cn_params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+        cn_params,
+    )
+    frozen = {"unet": unet_params, "vae": vae_params}
+    results = {}
+    for fused in (False, True):
+        step = make_controlnet_train_step(unet, cn, vae, sched, prompt, fused=fused)
+        state = create_train_state(cn.apply, cn_params, optax.sgd(1e-2))
+        state, m = step(state, frozen, batch, key)
+        results[fused] = (float(m["loss"]), state.params)
+    np.testing.assert_allclose(results[True][0], results[False][0], rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results[True][1]),
+        jax.tree_util.tree_leaves(results[False][1]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
