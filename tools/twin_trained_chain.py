@@ -137,7 +137,13 @@ def main():
     with torch.no_grad():
         for i, t in enumerate(ts):
             tp = int(ts[i + 1]) if i + 1 < len(ts) else -1
-            gamma = torch.from_numpy(tab["sqrt_ac"][t : t + 1])
+            # [B, 1] noise level: the twin's PositionalEncoding views the
+            # embedding as (b, -1), so a batch-1 gamma against a batch-B
+            # image silently reshapes 32 dims into B x 32/B (the suite's
+            # chain differential runs bs=1 and never hits this).
+            gamma = torch.from_numpy(tab["sqrt_ac"][t : t + 1]).repeat(
+                xt.shape[0], 1
+            )
             eps = tm(torch.cat([cond_t, xt], dim=1), gamma)
             ac_t = float(tab["ac"][t])
             ac_p = float(tab["ac"][tp]) if tp >= 0 else 1.0
