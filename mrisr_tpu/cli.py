@@ -277,6 +277,13 @@ def main(argv=None):
                    help="scanned-training steps per dispatch (0 = per-step "
                         "loop); on TPU through the relay keep each chunk "
                         "under ~60-90s of chip time")
+    p.add_argument("--prediction-type", default="epsilon",
+                   choices=["epsilon", "sample"],
+                   help="diffusers scheduler convention: 'epsilon' (the "
+                        "reference SD1.5 setting) or 'sample' (model "
+                        "predicts x0 directly - the stable choice for "
+                        "from-scratch phantom-scale training; see "
+                        "diffusion/res_shift.py)")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -394,6 +401,7 @@ def main(argv=None):
             texture_mode=args.texture_mode,
             lora_rank=args.lora_rank,
             chunk_steps=args.chunk_steps,
+            prediction_type=args.prediction_type,
         )
         Path(args.out).write_text(json.dumps(report, indent=2))
         for k in ("bicubic_baseline", "vae_recon_ceiling"):

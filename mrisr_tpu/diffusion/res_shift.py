@@ -55,14 +55,30 @@ def shift_reverse_step(
     lr: jnp.ndarray,
     t: jnp.ndarray,
     t_prev: jnp.ndarray,
-    eps_pred: jnp.ndarray,
+    model_out: jnp.ndarray,
     key: jax.Array,
+    prediction_type: str = "epsilon",
 ) -> jnp.ndarray:
-    """One reverse shifting step, branch-free over ``t_prev > 0``."""
+    """One reverse shifting step, branch-free over ``t_prev > 0``.
+
+    ``prediction_type`` follows diffusers' scheduler convention:
+    ``"epsilon"`` (the reference SD1.5 setting — ``model_out`` is the noise,
+    x0 derived via :func:`predict_x0`) or ``"sample"`` (``model_out`` IS the
+    x0 prediction).  The reverse transition itself is identical.  "sample"
+    matters for from-scratch small-scale training: deriving x0 from an
+    eps prediction divides the eps error by ``sqrt(ac_t)`` — x14 at
+    SD1.5's t=950 — which a pretrained SD-class eps model absorbs but a
+    phantom-scale one does not (PERF.md round-13 / parity harness notes).
+    """
     ac_t = extract(sched.alphas_cumprod, t, x_t.ndim)
     ac_prev = extract(sched.alphas_cumprod, jnp.maximum(t_prev, 0), x_t.ndim)
 
-    x0 = predict_x0(sched, x_t, lr, t, eps_pred)
+    if prediction_type == "sample":
+        x0 = model_out
+    elif prediction_type == "epsilon":
+        x0 = predict_x0(sched, x_t, lr, t, model_out)
+    else:
+        raise ValueError(f"unknown prediction_type {prediction_type!r}")
     sa_prev = jnp.sqrt(ac_prev)
     x_prev = sa_prev * x0 + (1.0 - sa_prev) * lr
 

@@ -592,6 +592,7 @@ def run_phantom_latent(
     texture_mode: str = "recoverable",
     lora_rank: int = 4,
     chunk_steps: int = 0,
+    prediction_type: str = "epsilon",
 ) -> dict:
     """Trained-model fidelity evidence for the LATENT path (BASELINE
     configs 2-3; VERDICT round-3 next #2).
@@ -763,13 +764,17 @@ def run_phantom_latent(
 
     # 2) base UNet (stand-in for SD1.5 pretraining)
     bstate = create_train_state(unet.apply, base_params, make_optimizer(2e-4))
-    bstep = make_latent_base_train_step(unet, vae_s, sched, prompt, empty)
+    bstep = make_latent_base_train_step(
+        unet, vae_s, sched, prompt, empty, prediction_type=prediction_type
+    )
     bstate = train_loop(bstate, bstep, {"vae": vae_params}, base_steps, "base", 10_000)
     base_params = bstate.params
 
     # 3a) ControlNet on the frozen base
     cstate = create_train_state(cn.apply, cn_params0, make_optimizer(2e-4))
-    cstep = make_controlnet_train_step(unet, cn, vae_s, sched, prompt, empty)
+    cstep = make_controlnet_train_step(
+        unet, cn, vae_s, sched, prompt, empty, prediction_type=prediction_type
+    )
     cstate = train_loop(
         cstate, cstep, {"unet": base_params, "vae": vae_params}, cn_steps, "cn", 20_000
     )
@@ -777,14 +782,17 @@ def run_phantom_latent(
     # 3b) LoRA on the frozen base
     lora0 = init_lora_params(jax.random.PRNGKey(5), base_params, rank=lora_rank)
     lstate = create_train_state(None, lora0, make_optimizer(1e-3))
-    lstep = make_lora_train_step(unet, vae_s, sched, prompt, base_params)
+    lstep = make_lora_train_step(
+        unet, vae_s, sched, prompt, base_params, prediction_type=prediction_type
+    )
     lstate = train_loop(
         lstate, lstep, {"vae": vae_params}, lora_steps, "lora", 30_000
     )
     lora_merged = merge_lora(base_params, lstate.params)
 
     pipe = LatentSRPipeline(
-        unet, cn, vae_s, sched, base_params, cn_params0, vae_params, prompt
+        unet, cn, vae_s, sched, base_params, cn_params0, vae_params, prompt,
+        prediction_type=prediction_type,
     )
     lr_te_dev = jnp.asarray(to_pm1(lr_te))
 
@@ -844,7 +852,7 @@ def run_phantom_latent(
             "sample_seeds": [int(s) for s in sample_seeds],
             "lora_rank": lora_rank,
             "degrade_scale": degrade_scale, "texture_mode": texture_mode,
-            "chunk_steps": chunk_steps,
+            "chunk_steps": chunk_steps, "prediction_type": prediction_type,
         },
         "bicubic_baseline": _metrics(lr_te, hr_te),
         "vae_recon_ceiling": vae_ceiling,

@@ -62,6 +62,7 @@ class LatentSRPipeline:
         prompt_embeds: jnp.ndarray,
         precompute_cond: bool = True,
         fused_towers: bool | None = None,
+        prediction_type: str = "epsilon",
     ):
         self.unet = unet
         self.controlnet = controlnet
@@ -94,6 +95,10 @@ class LatentSRPipeline:
         elif fused_towers:
             check_fusable(unet, controlnet)
         self.fused_towers = fused_towers
+        # diffusers scheduler convention: "epsilon" (SD1.5 reference
+        # setting) or "sample" (model predicts x0 — see
+        # diffusion/res_shift.py::shift_reverse_step for when that matters).
+        self.prediction_type = prediction_type
         # Program identity for the jit cache (see ResDiffPipeline): ``self``
         # is a static jit arg, params/prompt embeddings are TRACED operands
         # of ``super_resolve_with``, and the schedule arrays are constants
@@ -109,7 +114,7 @@ class LatentSRPipeline:
             digest.update(arr.tobytes())
         self._static_key = (
             type(self), unet, controlnet, vae, digest.digest(), precompute_cond,
-            fused_towers,
+            fused_towers, prediction_type,
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
@@ -185,7 +190,8 @@ class LatentSRPipeline:
                 )
 
         latents = res_shift_sample(
-            self.sched, eps_fn, anchor, key, num_steps=num_inference_steps
+            self.sched, eps_fn, anchor, key, num_steps=num_inference_steps,
+            prediction_type=self.prediction_type,
         )
         img = self.vae.apply(
             vae_params, latents / self.vae.scaling_factor, method=self.vae.decode

@@ -143,6 +143,7 @@ def res_shift_sample(
     key: jax.Array,
     num_steps: int = 20,
     spacing: str = "leading",
+    prediction_type: str = "epsilon",
 ) -> jnp.ndarray:
     """Res-SRDiff reverse chain anchored on the LR latents.
 
@@ -169,7 +170,10 @@ def res_shift_sample(
         tb = jnp.full((B,), t, dtype=jnp.int32)
         tpb = jnp.full((B,), tp, dtype=jnp.int32)
         eps = eps_fn(x, tb)
-        x = rs_mod.shift_reverse_step(sched, x, lr_anchor, tb, tpb, eps, sub)
+        x = rs_mod.shift_reverse_step(
+            sched, x, lr_anchor, tb, tpb, eps, sub,
+            prediction_type=prediction_type,
+        )
         return (x, k), None
 
     (x0, _), _ = jax.lax.scan(body, (x, key), (ts, t_prev))

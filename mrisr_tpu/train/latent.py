@@ -84,7 +84,7 @@ def make_vae_train_step(vae, kl_weight: float = 1e-6) -> Callable:
 
 def make_latent_base_train_step(
     unet, vae, sched: Schedule, prompt_embeds, empty_embeds=None,
-    proportion_empty_prompts: float = 0.1,
+    proportion_empty_prompts: float = 0.1, prediction_type: str = "epsilon",
 ) -> Callable:
     """BASE latent-diffusion training: gradients to the UNET itself.
 
@@ -110,9 +110,11 @@ def make_latent_base_train_step(
         ctx = jnp.broadcast_to(prompt_embeds[:1], (B,) + prompt_embeds.shape[1:])
         ctx = _cfg_dropout(ctx, empty_embeds, k_cfg, proportion_empty_prompts)
 
+        target = hr_lat if prediction_type == "sample" else eps
+
         def loss_fn(unet_params):
-            eps_pred = unet.apply(unet_params, x_t, t, ctx)
-            return l2(eps_pred, eps)
+            pred = unet.apply(unet_params, x_t, t, ctx)
+            return l2(pred, target)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)
@@ -124,6 +126,7 @@ def make_latent_base_train_step(
 def make_controlnet_train_step(
     unet, controlnet, vae, sched: Schedule, prompt_embeds, empty_embeds=None,
     proportion_empty_prompts: float = 0.1, fused: bool | None = None,
+    prediction_type: str = "epsilon",
 ) -> Callable:
     """ControlNet fine-tuning: state.params = controlnet params.
 
@@ -161,22 +164,24 @@ def make_controlnet_train_step(
         ctx = jnp.broadcast_to(prompt_embeds[:1], (B,) + prompt_embeds.shape[1:])
         ctx = _cfg_dropout(ctx, empty_embeds, k_cfg, proportion_empty_prompts)
 
+        target = hr_lat if prediction_type == "sample" else eps
+
         def loss_fn(cn_params):
             if fused:
                 cond_emb = embed_condition(controlnet, cn_params, lr_rgb)
                 stacked = stack_tower_params(frozen["unet"], cn_params)
-                eps_pred = fused_eps(
+                pred = fused_eps(
                     unet, controlnet, frozen["unet"], cn_params, stacked,
                     x_t, t, ctx, cond_emb,
                 )
             else:
                 down_res, mid_res = controlnet.apply(cn_params, x_t, t, ctx, lr_rgb)
-                eps_pred = unet.apply(
+                pred = unet.apply(
                     frozen["unet"], x_t, t, ctx,
                     down_block_additional_residuals=down_res,
                     mid_block_additional_residual=mid_res,
                 )
-            return l2(eps_pred, eps)
+            return l2(pred, target)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)
@@ -188,6 +193,7 @@ def make_controlnet_train_step(
 def make_lora_train_step(
     unet, vae, sched: Schedule, prompt_embeds, base_unet_params,
     lora_alpha: float = 1.0, empty_embeds=None, proportion_empty_prompts: float = 0.1,
+    prediction_type: str = "epsilon",
 ) -> Callable:
     """LoRA fine-tuning: state.params = the LoRA (A, B) pytree."""
 
@@ -205,10 +211,12 @@ def make_lora_train_step(
         ctx = jnp.broadcast_to(prompt_embeds[:1], (B,) + prompt_embeds.shape[1:])
         ctx = _cfg_dropout(ctx, empty_embeds, k_cfg, proportion_empty_prompts)
 
+        target = hr_lat if prediction_type == "sample" else eps
+
         def loss_fn(lora):
             merged = apply_lora_delta(base_unet_params, lora, lora_alpha)
-            eps_pred = unet.apply(merged, x_t, t, ctx)
-            return l2(eps_pred, eps)
+            pred = unet.apply(merged, x_t, t, ctx)
+            return l2(pred, target)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)

@@ -212,3 +212,31 @@ def test_resdiff_train_step_runs(key):
     }
     state, m = step(state, batch, k2)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_res_shift_sampler_exact_oracle_both_prediction_types(key):
+    """With a CLOSED-FORM oracle the reverse chain must recover HR exactly,
+    in both diffusers prediction conventions ('epsilon' and 'sample') —
+    pins the reverse math of diffusion/res_shift.py against the reference
+    update (src/adapters/res_srdiff.py:80-96)."""
+    from mrisr_tpu.diffusion.schedules import sd15_schedule, extract
+
+    sched = sd15_schedule()
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    lr = hr + 0.3 * jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+
+    def oracle_eps(x_t, t):
+        ac = extract(sched.alphas_cumprod, t, x_t.ndim)
+        sa = jnp.sqrt(ac)
+        return (x_t - sa * hr - (1.0 - sa) * lr) / jnp.sqrt(1.0 - ac)
+
+    def oracle_x0(x_t, t):
+        return hr
+
+    out_eps = res_shift_sample(sched, oracle_eps, lr, key, num_steps=20)
+    out_x0 = res_shift_sample(
+        sched, oracle_x0, lr, key, num_steps=20, prediction_type="sample"
+    )
+    np.testing.assert_allclose(np.asarray(out_eps), np.asarray(hr), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_x0), np.asarray(hr), atol=2e-3)
