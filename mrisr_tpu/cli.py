@@ -277,6 +277,10 @@ def main(argv=None):
                    help="scanned-training steps per dispatch (0 = per-step "
                         "loop); on TPU through the relay keep each chunk "
                         "under ~60-90s of chip time")
+    p.add_argument("--vae-width", type=int, default=16,
+                   help="phantom-scale VAE base width (blocks w,2w,4w)")
+    p.add_argument("--unet-width", type=int, default=32,
+                   help="phantom-scale SDUNet/ControlNet base width (w,2w,2w,2w)")
     p.add_argument("--prediction-type", default="epsilon",
                    choices=["epsilon", "sample"],
                    help="diffusers scheduler convention: 'epsilon' (the "
@@ -402,6 +406,8 @@ def main(argv=None):
             lora_rank=args.lora_rank,
             chunk_steps=args.chunk_steps,
             prediction_type=args.prediction_type,
+            vae_width=args.vae_width,
+            unet_width=args.unet_width,
         )
         Path(args.out).write_text(json.dumps(report, indent=2))
         for k in ("bicubic_baseline", "vae_recon_ceiling"):

@@ -593,6 +593,8 @@ def run_phantom_latent(
     lora_rank: int = 4,
     chunk_steps: int = 0,
     prediction_type: str = "epsilon",
+    vae_width: int = 16,
+    unet_width: int = 32,
 ) -> dict:
     """Trained-model fidelity evidence for the LATENT path (BASELINE
     configs 2-3; VERDICT round-3 next #2).
@@ -649,7 +651,8 @@ def run_phantom_latent(
     to_unit = lambda a: np.clip((np.asarray(a, np.float32) + 1.0) / 2.0, 0.0, 1.0)
     gray = lambda a: np.mean(np.asarray(a, np.float32), axis=-1, keepdims=True)
 
-    vae_cfg = dict(block_out_channels=(16, 32, 64), latent_channels=4)
+    w = vae_width
+    vae_cfg = dict(block_out_channels=(w, 2 * w, 4 * w), latent_channels=4)
     vae = AutoencoderKL(**vae_cfg)
     key = jax.random.PRNGKey(0)
     vae_params = vae.init(key, jnp.zeros((1, res, res, 3)))
@@ -713,9 +716,10 @@ def run_phantom_latent(
     print(f"[latent vae] recon ceiling psnr={vae_ceiling['psnr']:.2f}", flush=True)
 
     f = res // (2 ** (len(vae_cfg["block_out_channels"]) - 1))
-    unet = SDUNet(block_out_channels=(32, 64, 64, 64), heads=2, context_dim=16)
+    uw = unet_width
+    unet = SDUNet(block_out_channels=(uw, 2 * uw, 2 * uw, 2 * uw), heads=2, context_dim=16)
     cn = ControlNet(
-        block_out_channels=(32, 64, 64, 64), heads=2, context_dim=16,
+        block_out_channels=(uw, 2 * uw, 2 * uw, 2 * uw), heads=2, context_dim=16,
         cond_block_channels=(8, 16, 32),
     )
     sched = sd15_schedule()
@@ -845,7 +849,7 @@ def run_phantom_latent(
         "config": {
             "res": res, "n_train": n_train, "n_test": n_test,
             "vae": {**vae_cfg, "f": res // f, "scaling_factor": scaling},
-            "unet_channels": [32, 64, 64, 64],
+            "unet_channels": [uw, 2 * uw, 2 * uw, 2 * uw],
             "steps": {"vae": vae_steps, "base": base_steps, "cn": cn_steps,
                       "lora": lora_steps},
             "num_inference_steps": num_inference_steps,
