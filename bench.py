@@ -84,13 +84,14 @@ def main():
         "INSIDE every scan step instead of once per chain (PERF.md "
         "round-13 hoist; default = hoisted)",
     )
-    ap.add_argument(
+    fuse_group = ap.add_mutually_exclusive_group()
+    fuse_group.add_argument(
         "--fused", action="store_true",
         help="latent pipeline: force the fused (vmapped stacked-weight) "
         "UNet+ControlNet encoder program — already the default when the "
-        "configs match; measured +30% (PERF.md round-13)",
+        "configs match; measured +30%% (PERF.md round-13)",
     )
-    ap.add_argument(
+    fuse_group.add_argument(
         "--no-fused", action="store_true",
         help="latent pipeline A/B: force the sequential ControlNet->UNet "
         "program (the pre-round-13 baseline)",
@@ -294,6 +295,14 @@ def bench_latent(args):
         precompute_cond=not args.no_precompute_cond,
         fused_towers=fused,
     )
+    if args.no_precompute_cond and pipe.fused_towers:
+        import sys
+
+        print(
+            "# note: fused towers always hoist the condition embedding; "
+            "add --no-fused to actually measure the per-step embedding",
+            file=sys.stderr,
+        )
 
     def fresh():
         lr = jax.device_put(
@@ -335,9 +344,14 @@ def bench_latent(args):
                 "per_rep_stdev_ms": round(float(np.std(per_rep_ms)), 2),
                 "weights": "random (no SD1.5 checkpoint in image; "
                            "throughput-only evidence)",
+                # Label derives from the PIPELINE's actual state, not the
+                # flag: with fused towers on, the condition embedding is
+                # always hoisted regardless of --no-precompute-cond
+                # (pipelines/latent.py:162) — ADVICE round-4 #2.
                 "cond_embedding": (
-                    "per-step (A/B)" if args.no_precompute_cond
-                    else "hoisted once/chain"
+                    "hoisted once/chain"
+                    if (pipe.precompute_cond or pipe.fused_towers)
+                    else "per-step (A/B)"
                 ),
                 "towers": (
                     "fused (vmapped stacked-weight encoder)" if pipe.fused_towers

@@ -288,6 +288,17 @@ def main(argv=None):
                         "predicts x0 directly - the stable choice for "
                         "from-scratch phantom-scale training; see "
                         "diffusion/res_shift.py)")
+    p.add_argument("--adapter-steps", type=int, default=0,
+                   help="T2I-Adapter leg training steps (0 = skip the leg)")
+    p.add_argument("--cn-lora-steps", type=int, default=0,
+                   help="combined ControlNet+LoRA leg training steps (the "
+                        "reference notebook's configuration; 0 = skip)")
+    p.add_argument("--lora-ranks", default="",
+                   help="comma-separated extra LoRA ranks for the rank "
+                        "sweep (each trained --lora-steps)")
+    p.add_argument("--extra-sample-steps", default="",
+                   help="comma-separated extra inference chain lengths "
+                        "(e.g. 50) sampled for the PEFT rows")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -408,13 +419,20 @@ def main(argv=None):
             prediction_type=args.prediction_type,
             vae_width=args.vae_width,
             unet_width=args.unet_width,
+            adapter_steps=args.adapter_steps,
+            cn_lora_steps=args.cn_lora_steps,
+            lora_ranks=tuple(int(r) for r in args.lora_ranks.split(",") if r),
+            extra_sample_steps=tuple(
+                int(s) for s in args.extra_sample_steps.split(",") if s
+            ),
         )
         Path(args.out).write_text(json.dumps(report, indent=2))
         for k in ("bicubic_baseline", "vae_recon_ceiling"):
             print(k, json.dumps(report[k]))
-        for k in ("base_unet", "controlnet", "lora"):
-            print(k, json.dumps(report[k]["mean"]),
-                  "beats_bicubic:", report[k]["beats_bicubic"])
+        for k, v in report.items():
+            if isinstance(v, dict) and "beats_bicubic" in v:
+                print(k, json.dumps(v["mean"]),
+                      "beats_bicubic:", v["beats_bicubic"])
         return 0
     if args.cmd == "bench":
         from bench import main as bench_main

@@ -62,7 +62,9 @@ def _metrics_per_image(sr: np.ndarray, hr: np.ndarray) -> dict:
     }
 
 
-def _paired_delta_stats(exact: np.ndarray, other: np.ndarray) -> dict:
+def _paired_delta_stats(
+    exact: np.ndarray, other: np.ndarray, n_seeds: int = 1
+) -> dict:
     """Paired per-sample delta statistics with a 95% t-CI.
 
     ``delta = exact - other`` per paired sample (positive = ``other`` worse),
@@ -71,22 +73,37 @@ def _paired_delta_stats(exact: np.ndarray, other: np.ndarray) -> dict:
     LOSS of a serving profile vs exact reference semantics (VERDICT
     round-2 items 1/7: a point estimate of 0.07 dB cannot be
     distinguished from 0.12 without the interval).
+
+    ``n_seeds``: when the flat arrays are SEED-MAJOR stacks of
+    ``n_seeds`` sampler-seed replicates of the same image set, the flat
+    t-CI treats correlated replicates as independent and is too tight
+    (VERDICT round-4 weak #2).  ``n_seeds > 1`` adds a
+    ``clustered_by_image`` block that first averages the seed replicates
+    per image and computes the CI over the ``n / n_seeds`` independent
+    images — the conservative, decision-grade interval.
     """
     from scipy import stats
 
+    def _tstats(delta: np.ndarray) -> dict:
+        n = delta.size
+        mean = float(delta.mean())
+        sd = float(delta.std(ddof=1)) if n > 1 else 0.0
+        half = float(stats.t.ppf(0.975, n - 1) * sd / np.sqrt(n)) if n > 1 else 0.0
+        return {
+            "n": int(n),
+            "mean": mean,
+            "std": sd,
+            "ci95": [mean - half, mean + half],
+            "max": float(delta.max()),
+            "min": float(delta.min()),
+        }
+
     delta = np.asarray(exact, np.float64) - np.asarray(other, np.float64)
-    n = delta.size
-    mean = float(delta.mean())
-    sd = float(delta.std(ddof=1)) if n > 1 else 0.0
-    half = float(stats.t.ppf(0.975, n - 1) * sd / np.sqrt(n)) if n > 1 else 0.0
-    return {
-        "n": int(n),
-        "mean": mean,
-        "std": sd,
-        "ci95": [mean - half, mean + half],
-        "max": float(delta.max()),
-        "min": float(delta.min()),
-    }
+    out = _tstats(delta)
+    if n_seeds > 1 and delta.size % n_seeds == 0:
+        per_image = delta.reshape(n_seeds, delta.size // n_seeds).mean(axis=0)
+        out["clustered_by_image"] = _tstats(per_image)
+    return out
 
 
 def _phantom_batches(
@@ -550,16 +567,25 @@ def run_phantom_resdiff(
                 ca_kv_pool=p, ca_kv_pool_min_tokens=min_tok,
             )
             ev = eval_profile(unet_p)
+            n_seeds = len(sample_seeds)
             psnr_stats = _paired_delta_stats(
-                exact_eval["per_image"]["psnr"], ev["per_image"]["psnr"]
+                exact_eval["per_image"]["psnr"], ev["per_image"]["psnr"],
+                n_seeds=n_seeds,
             )
             ev["delta_vs_exact"] = {
                 "psnr": psnr_stats,
                 "ssim": _paired_delta_stats(
-                    exact_eval["per_image"]["ssim"], ev["per_image"]["ssim"]
+                    exact_eval["per_image"]["ssim"], ev["per_image"]["ssim"],
+                    n_seeds=n_seeds,
                 ),
             }
-            ev["within_0p1db"] = bool(psnr_stats["ci95"][1] < 0.1)
+            # The gate uses the CONSERVATIVE interval: image-clustered when
+            # seed replicates exist (they are correlated — VERDICT round-4
+            # weak #2), flat otherwise.  The flat verdict is kept alongside
+            # for artifact back-compat.
+            gate = psnr_stats.get("clustered_by_image", psnr_stats)
+            ev["within_0p1db"] = bool(gate["ci95"][1] < 0.1)
+            ev["within_0p1db_flat"] = bool(psnr_stats["ci95"][1] < 0.1)
             ev["config"] = {"ca_kv_pool": p, "ca_kv_pool_min_tokens": min_tok}
             prof_report[name] = ev
             print(
@@ -595,6 +621,10 @@ def run_phantom_latent(
     prediction_type: str = "epsilon",
     vae_width: int = 16,
     unet_width: int = 32,
+    adapter_steps: int = 0,
+    cn_lora_steps: int = 0,
+    lora_ranks: tuple = (),
+    extra_sample_steps: tuple = (),
 ) -> dict:
     """Trained-model fidelity evidence for the LATENT path (BASELINE
     configs 2-3; VERDICT round-3 next #2).
@@ -620,6 +650,22 @@ def run_phantom_latent(
     paired noise, reported with per-image metric arrays and paired-delta
     CIs vs the bicubic input — the same decision-grade statistics as
     ``profiles_50step``.
+
+    Round-5 legs (VERDICT round-4 next #1-2):
+
+    * ``adapter_steps > 0`` — T2I-Adapter row (``src/adapters/
+      modules.py:114-157`` shape, zero-init out projections so the
+      untrained adapter IS the base), trained on the frozen base and
+      served through the adapter mode of ``LatentSRPipeline``.
+    * ``cn_lora_steps > 0`` — combined ControlNet+LoRA row, the
+      reference notebook's actual configuration
+      (``artificial_ds_lora_controlnet.ipynb``; both PEFT modules
+      trained jointly on the frozen base).
+    * ``lora_ranks`` — additional LoRA-only rows per rank (the rank
+      sweep pinning whether plain LoRA's failure is rank-limited).
+    * ``extra_sample_steps`` — re-sample the PEFT rows at additional
+      chain lengths (e.g. 50, for the BASELINE config-2 wording:
+      the harness default 20 follows ``res_srdiff.py:36``).
     """
     import jax
     import jax.numpy as jnp
@@ -783,31 +829,100 @@ def run_phantom_latent(
         cstate, cstep, {"unet": base_params, "vae": vae_params}, cn_steps, "cn", 20_000
     )
 
-    # 3b) LoRA on the frozen base
-    lora0 = init_lora_params(jax.random.PRNGKey(5), base_params, rank=lora_rank)
-    lstate = create_train_state(None, lora0, make_optimizer(1e-3))
-    lstep = make_lora_train_step(
-        unet, vae_s, sched, prompt, base_params, prediction_type=prediction_type
-    )
-    lstate = train_loop(
-        lstate, lstep, {"vae": vae_params}, lora_steps, "lora", 30_000
-    )
-    lora_merged = merge_lora(base_params, lstate.params)
+    # 3b) LoRA on the frozen base — primary rank plus the optional sweep.
+    def train_lora(rank: int, seed0: int, init_seed: int):
+        lora0 = init_lora_params(jax.random.PRNGKey(init_seed), base_params, rank=rank)
+        lstate = create_train_state(None, lora0, make_optimizer(1e-3))
+        lstep = make_lora_train_step(
+            unet, vae_s, sched, prompt, base_params, prediction_type=prediction_type
+        )
+        lstate = train_loop(
+            lstate, lstep, {"vae": vae_params}, lora_steps, f"lora_r{rank}", seed0
+        )
+        return merge_lora(base_params, lstate.params)
+
+    lora_merged = train_lora(lora_rank, 30_000, 5)
+    sweep_merged = {}
+    for j, r in enumerate(lora_ranks):
+        if int(r) == lora_rank:
+            continue
+        sweep_merged[int(r)] = train_lora(int(r), 70_000 + j * 10_000, 500 + j)
+
+    # 3c) combined ControlNet + LoRA (the reference notebook's actual
+    # configuration — artificial_ds_lora_controlnet.ipynb, SURVEY top note).
+    cl_params = None
+    if cn_lora_steps > 0:
+        import optax
+
+        from mrisr_tpu.train.latent import make_cn_lora_train_step
+
+        cl0 = {
+            "cn": cn_params0,
+            "lora": init_lora_params(jax.random.PRNGKey(6), base_params, rank=lora_rank),
+        }
+        tx = optax.multi_transform(
+            {"cn": make_optimizer(2e-4), "lora": make_optimizer(1e-3)},
+            {"cn": "cn", "lora": "lora"},
+        )
+        clstate = create_train_state(None, cl0, tx)
+        clstep = make_cn_lora_train_step(
+            unet, cn, vae_s, sched, prompt, base_params,
+            empty_embeds=empty, prediction_type=prediction_type,
+        )
+        clstate = train_loop(
+            clstate, clstep, {"vae": vae_params}, cn_lora_steps, "cn_lora", 50_000
+        )
+        cl_params = clstate.params
+
+    # 3d) T2I-Adapter on the frozen base (reference shape
+    # src/adapters/modules.py:114-157 scaled to phantom widths; zero-init
+    # out projections so untrained == base — see models/adapter.py).
+    ad = ad_params = None
+    if adapter_steps > 0:
+        from mrisr_tpu.models.adapter import T2IAdapter
+        from mrisr_tpu.train.latent import make_adapter_train_step
+
+        unsh = res // f
+        ad = T2IAdapter(
+            channels=(uw, 2 * uw, 2 * uw, 2 * uw), num_res_blocks=3,
+            cin=3 * unsh * unsh, unshuffle_factor=unsh, zero_out=True,
+        )
+        ad0 = ad.init(jax.random.PRNGKey(7), jnp.zeros((1, res, res, 3)))
+        astate = create_train_state(ad.apply, ad0, make_optimizer(2e-4))
+        astep = make_adapter_train_step(
+            unet, ad, vae_s, sched, prompt, empty, prediction_type=prediction_type
+        )
+        astate = train_loop(
+            astate, astep, {"unet": base_params, "vae": vae_params},
+            adapter_steps, "adapter", 40_000,
+        )
+        ad_params = astate.params
 
     pipe = LatentSRPipeline(
         unet, cn, vae_s, sched, base_params, cn_params0, vae_params, prompt,
         prediction_type=prediction_type,
     )
+    pipe_ad = (
+        LatentSRPipeline(
+            unet, None, vae_s, sched, base_params, ad_params, vae_params, prompt,
+            prediction_type=prediction_type, adapter=ad,
+        )
+        if ad is not None
+        else None
+    )
     lr_te_dev = jnp.asarray(to_pm1(lr_te))
+    n_seeds = len(sample_seeds)
 
-    def sample_rows(unet_p, cn_p) -> dict:
+    def sample_rows(unet_p, cn_p, p=None, nsteps=None) -> dict:
         """Per-image metrics over n_test x len(sample_seeds), noise paired
         by (image, seed) across variants (same fold_in key walk)."""
+        p = p or pipe
         per_seed = []
         for s in sample_seeds:
-            out = pipe.super_resolve_with(
+            out = p.super_resolve_with(
                 unet_p, cn_p, vae_params, prompt, lr_te_dev,
-                jax.random.PRNGKey(int(s)), num_inference_steps,
+                jax.random.PRNGKey(int(s)),
+                nsteps if nsteps is not None else num_inference_steps,
             )
             per_seed.append(_metrics_per_image(gray(to_unit(out)), hr_te))
         flat = {
@@ -821,28 +936,77 @@ def run_phantom_latent(
         "controlnet": sample_rows(base_params, cstate.params),
         "lora": sample_rows(lora_merged, cn_params0),
     }
+    for r, merged in sweep_merged.items():
+        rows[f"lora_r{r}"] = sample_rows(merged, cn_params0)
+    if cl_params is not None:
+        rows["cn_lora"] = sample_rows(
+            merge_lora(base_params, cl_params["lora"]), cl_params["cn"]
+        )
+    if ad_params is not None:
+        rows["adapter"] = sample_rows(base_params, ad_params, p=pipe_ad)
+
     # Paired reference rows: bicubic input, repeated per seed to pair with
     # the (image, seed) sample grid.
     bicubic_flat = _metrics_per_image(lr_te, hr_te)
     bicubic_rep = {
         m: bicubic_flat[m] * len(sample_seeds) for m in bicubic_flat
     }
-    for name, row in rows.items():
+
+    def attach_bicubic_delta(row: dict) -> dict:
         psnr_stats = _paired_delta_stats(
-            row["per_image"]["psnr"], bicubic_rep["psnr"]
+            row["per_image"]["psnr"], bicubic_rep["psnr"], n_seeds=n_seeds
         )
         # delta = model - bicubic here (positive = model BETTER); flip the
-        # _paired_delta_stats convention (exact - other).
+        # _paired_delta_stats convention (exact - other).  The verdict uses
+        # the conservative image-clustered interval (seed replicates of one
+        # image are correlated — VERDICT round-4 weak #2).
         row["delta_vs_bicubic_psnr"] = psnr_stats
-        row["beats_bicubic"] = bool(psnr_stats["ci95"][0] > 0.0)
+        gate = psnr_stats.get("clustered_by_image", psnr_stats)
+        row["beats_bicubic"] = bool(gate["ci95"][0] > 0.0)
+        row["beats_bicubic_flat"] = bool(psnr_stats["ci95"][0] > 0.0)
+        return psnr_stats
+
+    for name, row in rows.items():
+        psnr_stats = attach_bicubic_delta(row)
+        gate = psnr_stats.get("clustered_by_image", psnr_stats)
         print(
             f"[latent row {name}] psnr={row['mean']['psnr']:.3f} "
             f"dpsnr_vs_bicubic={psnr_stats['mean']:+.3f} "
-            f"ci95=({psnr_stats['ci95'][0]:+.3f},{psnr_stats['ci95'][1]:+.3f})",
+            f"ci95_clustered=({gate['ci95'][0]:+.3f},{gate['ci95'][1]:+.3f})",
             flush=True,
         )
+
+    # Extra chain-length legs (e.g. 50-step for the BASELINE config-2
+    # wording; the default 20 follows res_srdiff.py:36).
+    extra_rows = ("controlnet", "lora", "cn_lora", "adapter")
+    for k in extra_sample_steps:
+        k = int(k)
+        for name in extra_rows:
+            if name not in rows:
+                continue
+            if name == "controlnet":
+                r = sample_rows(base_params, cstate.params, nsteps=k)
+            elif name == "lora":
+                r = sample_rows(lora_merged, cn_params0, nsteps=k)
+            elif name == "cn_lora":
+                r = sample_rows(
+                    merge_lora(base_params, cl_params["lora"]), cl_params["cn"],
+                    nsteps=k,
+                )
+            else:
+                r = sample_rows(base_params, ad_params, p=pipe_ad, nsteps=k)
+            attach_bicubic_delta(r)
+            rows[name][f"steps_{k}"] = r
+            print(
+                f"[latent row {name} @{k} steps] psnr={r['mean']['psnr']:.3f} "
+                f"beats_bicubic={r['beats_bicubic']}",
+                flush=True,
+            )
+
     cn_vs_base = _paired_delta_stats(
-        rows["controlnet"]["per_image"]["psnr"], rows["base_unet"]["per_image"]["psnr"]
+        rows["controlnet"]["per_image"]["psnr"],
+        rows["base_unet"]["per_image"]["psnr"],
+        n_seeds=n_seeds,
     )
     return {
         "reference_entry_point": "src/adapters/res_srdiff.py:36-105",
@@ -851,10 +1015,13 @@ def run_phantom_latent(
             "vae": {**vae_cfg, "f": res // f, "scaling_factor": scaling},
             "unet_channels": [uw, 2 * uw, 2 * uw, 2 * uw],
             "steps": {"vae": vae_steps, "base": base_steps, "cn": cn_steps,
-                      "lora": lora_steps},
+                      "lora": lora_steps, "adapter": adapter_steps,
+                      "cn_lora": cn_lora_steps},
             "num_inference_steps": num_inference_steps,
+            "extra_sample_steps": [int(s) for s in extra_sample_steps],
             "sample_seeds": [int(s) for s in sample_seeds],
             "lora_rank": lora_rank,
+            "lora_ranks": [int(r) for r in lora_ranks],
             "degrade_scale": degrade_scale, "texture_mode": texture_mode,
             "chunk_steps": chunk_steps, "prediction_type": prediction_type,
         },

@@ -37,11 +37,20 @@ class AdapterResnetBlock(nn.Module):
 
 
 class T2IAdapter(nn.Module):
+    """``zero_out`` adds a zero-initialised 1x1 projection on each emitted
+    feature map — a disclosed deviation from the reference shape (which has
+    no zero-init): with it, an UNTRAINED adapter contributes exactly zero to
+    the UNet (adapter == base), the same from-identity fine-tuning property
+    the ControlNet gets from its zero convs.  Required for the phantom-scale
+    trained-evidence leg (``eval/parity.py::run_phantom_latent``) where the
+    base is small and easily destabilised by random additive features."""
+
     channels: Sequence[int] = (320, 640, 1280, 1280)
     num_res_blocks: int = 3
     cin: int = 192  # 3 channels x 8^2 after unshuffle
     ksize: int = 3
     unshuffle_factor: int = 8
+    zero_out: bool = False
 
     @nn.compact
     def __call__(self, cond: jnp.ndarray) -> list[jnp.ndarray]:
@@ -63,5 +72,13 @@ class T2IAdapter(nn.Module):
                         name=f"body_{i}_{j}_down",
                     )(x)
                 x = AdapterResnetBlock(c, self.ksize, name=f"body_{i}_{j}")(x)
-            features.append(x)
+            if self.zero_out:
+                features.append(
+                    nn.Conv(
+                        c, (1, 1), kernel_init=nn.initializers.zeros,
+                        name=f"out_proj_{i}",
+                    )(x)
+                )
+            else:
+                features.append(x)
         return features

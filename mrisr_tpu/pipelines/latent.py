@@ -63,9 +63,20 @@ class LatentSRPipeline:
         precompute_cond: bool = True,
         fused_towers: bool | None = None,
         prediction_type: str = "epsilon",
+        adapter: Any = None,
     ):
         self.unet = unet
         self.controlnet = controlnet
+        # T2I-Adapter serving mode (reference src/adapters/modules.py:114-157
+        # hooked into the UNet down blocks, sd_unet.py:46-47): when
+        # ``adapter`` is given the ``controlnet_params`` operand slot carries
+        # the ADAPTER params and the ControlNet is unused.  Adapter features
+        # depend only on the condition image — step-invariant, so they are
+        # computed once per chain outside the scan (the same hoist as
+        # ``precompute_cond`` for the ControlNet embedding).
+        self.adapter = adapter
+        if adapter is not None:
+            fused_towers = False
         self.vae = vae
         self.sched = sched
         self.unet_params = unet_params
@@ -114,7 +125,7 @@ class LatentSRPipeline:
             digest.update(arr.tobytes())
         self._static_key = (
             type(self), unet, controlnet, vae, digest.digest(), precompute_cond,
-            fused_towers, prediction_type,
+            fused_towers, prediction_type, adapter,
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
@@ -157,6 +168,25 @@ class LatentSRPipeline:
         ctx = jnp.broadcast_to(
             prompt_embeds[:1], (B,) + prompt_embeds.shape[1:]
         )
+
+        if self.adapter is not None:
+            # controlnet_params slot carries the adapter params; features
+            # are chain-invariant (condition-only), hoisted out of the scan.
+            feats = self.adapter.apply(controlnet_params, cond_image)
+
+            def eps_fn(x_t, t):
+                return self.unet.apply(
+                    unet_params, x_t, t, ctx, adapter_features=feats
+                )
+
+            latents = res_shift_sample(
+                self.sched, eps_fn, anchor, key, num_steps=num_inference_steps,
+                prediction_type=self.prediction_type,
+            )
+            img = self.vae.apply(
+                vae_params, latents / self.vae.scaling_factor, method=self.vae.decode
+            )
+            return img
 
         cond_emb = None
         if self.precompute_cond or self.fused_towers:

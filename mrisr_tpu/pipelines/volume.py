@@ -235,6 +235,17 @@ def super_resolve_volume(
         # threaded-overlap negative result).
         fetch_threads = int(os.environ.get("MRISR_FETCH_THREADS", "8"))
         dev_crop = os.environ.get("MRISR_VOLUME_DEVICE_CROP", "1") == "1"
+        # MRISR_VOLUME_OVERLAP=1: download group i on a worker thread WHILE
+        # chain i+1 runs on device.  Differs from the round-6 negative
+        # (MRISR_VOLUME_THREADS): the chain is still drained before the
+        # next dispatch — only the post-drain DOWNLOAD overlaps the next
+        # chain, so the in-flight chain itself has no concurrent upload RPC.
+        # Whether the relay serializes a download against the next chain's
+        # execution is exactly the A/B tools/perf_volume.py runs
+        # (VERDICT round-4 next #6); phase accounting for the overlapped
+        # download is measured inside the worker and reported as
+        # "download" (concurrent seconds, not critical-path seconds).
+        overlap = os.environ.get("MRISR_VOLUME_OVERLAP", "0") == "1"
 
         def _fetch_many(sr) -> np.ndarray:
             k = min(fetch_threads, sr.shape[0])
@@ -257,6 +268,14 @@ def super_resolve_volume(
             return np.concatenate(parts).astype(np.float32)
 
         crop_fn = None
+        fetch_futs: list = []
+        fetch_ex = ThreadPoolExecutor(max_workers=1) if overlap else None
+
+        def _timed_fetch(sr_arr, grp_list):
+            w0 = _time.perf_counter()
+            host_arr = _fetch_many(sr_arr)
+            return host_arr, grp_list, _time.perf_counter() - w0
+
         for gi in range(0, len(padded), G):
             grp = padded[gi : gi + G]
             t0 = _time.perf_counter()
@@ -293,18 +312,29 @@ def super_resolve_volume(
             if crop_fn is not None:
                 sr = crop_fn(sr)
                 sr.block_until_ready()
-            host = _fetch_many(sr)
-            t4 = _time.perf_counter()
             ph["prep"] += t1 - t0
             ph["upload"] += t2 - t1
             ph["chain"] += t3 - t2
-            ph["download"] += t4 - t3
-            for g, s in enumerate(grp):
-                outs_map.setdefault(s, host[g])
+            if overlap:
+                # Hand the download to the worker; the next iteration's
+                # chain dispatches immediately.
+                fetch_futs.append(fetch_ex.submit(_timed_fetch, sr, list(grp)))
+            else:
+                host = _fetch_many(sr)
+                ph["download"] += _time.perf_counter() - t3
+                for g, s in enumerate(grp):
+                    outs_map.setdefault(s, host[g])
+        if overlap:
+            for fut in fetch_futs:
+                host, grp_list, dl = fut.result()
+                ph["download"] += dl
+                for g, s in enumerate(grp_list):
+                    outs_map.setdefault(s, host[g])
+            fetch_ex.shutdown()
         outs = [outs_map[s] for s in starts]
         if trace:
             global LAST_TRACE
-            LAST_TRACE = dict(ph)
+            LAST_TRACE = dict(ph, overlap=float(overlap))
             print(
                 "volume trace grouped: "
                 + " ".join(f"{k}={v:.3f}s" for k, v in ph.items()),

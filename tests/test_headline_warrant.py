@@ -85,14 +85,20 @@ def test_default_profile_has_fidelity_warrant():
         if not block:
             continue
         delta = block.get("delta_vs_exact", {}).get("psnr", {})
+        # The decision interval is the CONSERVATIVE one: image-clustered
+        # (seed replicates averaged per image first — VERDICT round-4
+        # weak #2) when present, flat otherwise.  At least one committed
+        # artifact must carry the clustered block (tools/recluster_stats.py
+        # re-emits legacy artifacts with it).
+        gate = delta.get("clustered_by_image", delta)
         if (
             block.get("within_0p1db") is True
-            and delta.get("ci95")
-            and abs(delta["ci95"][1]) < 0.1
-            and abs(delta.get("mean", 1.0)) < 0.1
+            and gate.get("ci95")
+            and abs(gate["ci95"][1]) < 0.1
+            and abs(gate.get("mean", 1.0)) < 0.1
             and delta.get("n", 0) >= 64
         ):
-            warranted.append(path)
+            warranted.append((path, "clustered_by_image" in delta))
     assert warranted, (
         f"bench.py's default profile '{profile}' (fast={defaults['fast']}, "
         f"min_tokens={defaults['fast_min_tokens']}) has NO committed 256^2 "
@@ -100,4 +106,9 @@ def test_default_profile_has_fidelity_warrant():
         f"{profile} with within_0p1db=true, |dPSNR mean| and CI95 upper "
         "< 0.1 dB, n>=64.  Run the parity harness for this profile before "
         "making it the bench default."
+    )
+    assert any(clustered for _, clustered in warranted), (
+        "every warranting artifact uses only the flat (anti-conservative) "
+        "CI; at least one must carry the image-clustered interval "
+        "(tools/recluster_stats.py re-emits legacy artifacts with it)"
     )
