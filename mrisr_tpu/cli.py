@@ -299,6 +299,14 @@ def main(argv=None):
     p.add_argument("--extra-sample-steps", default="",
                    help="comma-separated extra inference chain lengths "
                         "(e.g. 50) sampled for the PEFT rows")
+    p.add_argument("--cache-latents", action="store_true",
+                   help="precompute VAE posterior moments once and sample "
+                        "latents in-step (required at 256^2 through the "
+                        "relay: per-step pixel encodes blow the dispatch "
+                        "chip-time limit)")
+    p.add_argument("--vae-chunk-steps", type=int, default=0,
+                   help="separate dispatch chunk for the VAE leg "
+                        "(0 = --chunk-steps); keep 256^2 VAE chunks <=100")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--cpu-smoke", action="store_true")
@@ -425,6 +433,8 @@ def main(argv=None):
             extra_sample_steps=tuple(
                 int(s) for s in args.extra_sample_steps.split(",") if s
             ),
+            cache_latents=args.cache_latents,
+            vae_chunk_steps=args.vae_chunk_steps,
         )
         Path(args.out).write_text(json.dumps(report, indent=2))
         for k in ("bicubic_baseline", "vae_recon_ceiling"):

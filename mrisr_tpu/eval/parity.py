@@ -625,6 +625,8 @@ def run_phantom_latent(
     cn_lora_steps: int = 0,
     lora_ranks: tuple = (),
     extra_sample_steps: tuple = (),
+    cache_latents: bool = False,
+    vae_chunk_steps: int = 0,
 ) -> dict:
     """Trained-model fidelity evidence for the LATENT path (BASELINE
     configs 2-3; VERDICT round-3 next #2).
@@ -666,6 +668,15 @@ def run_phantom_latent(
     * ``extra_sample_steps`` — re-sample the PEFT rows at additional
       chain lengths (e.g. 50, for the BASELINE config-2 wording:
       the harness default 20 follows ``res_srdiff.py:36``).
+    * ``cache_latents`` — precompute the frozen VAE's posterior moments
+      for the whole train set ONCE and sample latents in-step (the
+      standard SD latent-caching optimization; distributionally
+      identical, tested).  Required at 256^2 through the relay: the
+      per-step pixel encodes made 250-step chunks exceed the
+      per-dispatch chip-time limit and crash the worker.
+    * ``vae_chunk_steps`` — separate dispatch-chunk length for the VAE
+      leg (its 256^2 pixel-space steps are ~10x the cached latent
+      steps; 0 = use ``chunk_steps``).
     """
     import jax
     import jax.numpy as jnp
@@ -716,8 +727,9 @@ def run_phantom_latent(
         vmany = make_vae_train_many(vstep)
         pool_dev = jnp.asarray(pool)
         done = 0
+        vchunk = vae_chunk_steps or chunk_steps
         while done < vae_steps:
-            k = min(chunk_steps, vae_steps - done)
+            k = min(vchunk, vae_steps - done)
             ids = np.arange(done, done + k)
             idx = np.stack(
                 [np.random.default_rng(int(s)).integers(0, len(pool), batch) for s in ids]
@@ -781,12 +793,37 @@ def run_phantom_latent(
 
     hr_pm1, lr_pm1 = to_pm1(hr_all), to_pm1(lr_all)
 
+    # Latent cache: the frozen VAE's posterior moments for the whole train
+    # set, computed once (train/latent.py::_encode_pair samples in-step).
+    arrays_dev = None
+    if cache_latents:
+        mom = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode_moments))
+        parts = {k: [] for k in ("hr_mean", "hr_logvar", "lr_mean", "lr_logvar")}
+        for s0 in range(0, n_train, 64):
+            hm, hv = mom(vae_params, rgb(hr_pm1[s0 : s0 + 64]))
+            lm, lv = mom(vae_params, rgb(lr_pm1[s0 : s0 + 64]))
+            for k_, v_ in zip(parts, (hm, hv, lm, lv)):
+                parts[k_].append(np.asarray(v_))
+        arrays_dev = {k: jnp.asarray(np.concatenate(v)) for k, v in parts.items()}
+        arrays_dev["lr"] = jnp.asarray(lr_pm1)  # pixels for cond branches
+        print(
+            f"[latent cache] moments cached for {n_train} pairs "
+            f"({arrays_dev['hr_mean'].shape})",
+            flush=True,
+        )
+
     def train_loop(state, step_fn, frozen, steps, tag, seed0=0):
         if chunk_steps > 0:
-            from mrisr_tpu.train.latent import make_latent_train_many
+            from mrisr_tpu.train.latent import (
+                make_latent_train_many,
+                make_latent_train_many_cached,
+            )
 
-            many = make_latent_train_many(step_fn)
-            lr_dev, hr_dev = jnp.asarray(lr_pm1), jnp.asarray(hr_pm1)
+            if cache_latents:
+                many = make_latent_train_many_cached(step_fn)
+            else:
+                many = make_latent_train_many(step_fn)
+                lr_dev, hr_dev = jnp.asarray(lr_pm1), jnp.asarray(hr_pm1)
             done = 0
             while done < steps:
                 k = min(chunk_steps, steps - done)
@@ -794,10 +831,16 @@ def run_phantom_latent(
                 idx = np.stack(
                     [np.random.default_rng(int(s)).integers(0, n_train, batch) for s in ids]
                 )
-                state, losses = many(
-                    state, frozen, lr_dev, hr_dev,
-                    jnp.asarray(idx), jnp.asarray(ids), key,
-                )
+                if cache_latents:
+                    state, losses = many(
+                        state, frozen, arrays_dev,
+                        jnp.asarray(idx), jnp.asarray(ids), key,
+                    )
+                else:
+                    state, losses = many(
+                        state, frozen, lr_dev, hr_dev,
+                        jnp.asarray(idx), jnp.asarray(ids), key,
+                    )
                 done += k
                 print(
                     f"[latent {tag} {done}/{steps}] loss={float(losses[-1]):.5f}",
@@ -806,7 +849,10 @@ def run_phantom_latent(
             return state
         for i in range(steps):
             idx = np.random.default_rng(seed0 + i).integers(0, n_train, batch)
-            b = {"hr": jnp.asarray(hr_pm1[idx]), "lr": jnp.asarray(lr_pm1[idx])}
+            if cache_latents:
+                b = {k: v[jnp.asarray(idx)] for k, v in arrays_dev.items()}
+            else:
+                b = {"hr": jnp.asarray(hr_pm1[idx]), "lr": jnp.asarray(lr_pm1[idx])}
             state, m = step_fn(state, frozen, b, jax.random.fold_in(key, seed0 + i))
             if (i + 1) % max(steps // 4, 1) == 0:
                 print(f"[latent {tag} {i+1}/{steps}] loss={float(m['loss']):.5f}", flush=True)
@@ -815,7 +861,8 @@ def run_phantom_latent(
     # 2) base UNet (stand-in for SD1.5 pretraining)
     bstate = create_train_state(unet.apply, base_params, make_optimizer(2e-4))
     bstep = make_latent_base_train_step(
-        unet, vae_s, sched, prompt, empty, prediction_type=prediction_type
+        unet, vae_s, sched, prompt, empty, prediction_type=prediction_type,
+        latents_cached=cache_latents,
     )
     bstate = train_loop(bstate, bstep, {"vae": vae_params}, base_steps, "base", 10_000)
     base_params = bstate.params
@@ -823,7 +870,8 @@ def run_phantom_latent(
     # 3a) ControlNet on the frozen base
     cstate = create_train_state(cn.apply, cn_params0, make_optimizer(2e-4))
     cstep = make_controlnet_train_step(
-        unet, cn, vae_s, sched, prompt, empty, prediction_type=prediction_type
+        unet, cn, vae_s, sched, prompt, empty, prediction_type=prediction_type,
+        latents_cached=cache_latents,
     )
     cstate = train_loop(
         cstate, cstep, {"unet": base_params, "vae": vae_params}, cn_steps, "cn", 20_000
@@ -834,7 +882,8 @@ def run_phantom_latent(
         lora0 = init_lora_params(jax.random.PRNGKey(init_seed), base_params, rank=rank)
         lstate = create_train_state(None, lora0, make_optimizer(1e-3))
         lstep = make_lora_train_step(
-            unet, vae_s, sched, prompt, base_params, prediction_type=prediction_type
+            unet, vae_s, sched, prompt, base_params, prediction_type=prediction_type,
+            latents_cached=cache_latents,
         )
         lstate = train_loop(
             lstate, lstep, {"vae": vae_params}, lora_steps, f"lora_r{rank}", seed0
@@ -868,6 +917,7 @@ def run_phantom_latent(
         clstep = make_cn_lora_train_step(
             unet, cn, vae_s, sched, prompt, base_params,
             empty_embeds=empty, prediction_type=prediction_type,
+            latents_cached=cache_latents,
         )
         clstate = train_loop(
             clstate, clstep, {"vae": vae_params}, cn_lora_steps, "cn_lora", 50_000
@@ -890,7 +940,8 @@ def run_phantom_latent(
         ad0 = ad.init(jax.random.PRNGKey(7), jnp.zeros((1, res, res, 3)))
         astate = create_train_state(ad.apply, ad0, make_optimizer(2e-4))
         astep = make_adapter_train_step(
-            unet, ad, vae_s, sched, prompt, empty, prediction_type=prediction_type
+            unet, ad, vae_s, sched, prompt, empty, prediction_type=prediction_type,
+            latents_cached=cache_latents,
         )
         astate = train_loop(
             astate, astep, {"unet": base_params, "vae": vae_params},
@@ -1024,6 +1075,7 @@ def run_phantom_latent(
             "lora_ranks": [int(r) for r in lora_ranks],
             "degrade_scale": degrade_scale, "texture_mode": texture_mode,
             "chunk_steps": chunk_steps, "prediction_type": prediction_type,
+            "cache_latents": cache_latents, "vae_chunk_steps": vae_chunk_steps,
         },
         "bicubic_baseline": _metrics(lr_te, hr_te),
         "vae_recon_ceiling": vae_ceiling,

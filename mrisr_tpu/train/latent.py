@@ -46,6 +46,36 @@ def _diffused_batch(sched: Schedule, hr_lat, lr_lat, key):
     return x_t, t, eps
 
 
+def _encode_pair(vae, frozen, batch, k1, k2, latents_cached: bool):
+    """Scaled (hr, lr) latents for a train step.
+
+    ``latents_cached=False`` VAE-encodes the pixel batch (the original
+    path).  ``latents_cached=True`` samples the posterior from PRECOMPUTED
+    moments (``hr_mean/hr_logvar/lr_mean/lr_logvar`` batch keys) with the
+    exact ``AutoencoderKL.encode`` formula — distributionally identical,
+    and bit-matching at equal keys (tested).  Caching removes the two
+    per-step 256^2 encoder forwards that made 256^2 training chunks blow
+    the relay's per-dispatch chip-time limit (round-15: a 250-step VAE
+    chunk crashed the worker; PERF.md round-8 limits).  Pixel ``lr`` stays
+    in the batch for the ControlNet/adapter condition branches, which ARE
+    trainable and must see pixels.
+    """
+    scale = vae.scaling_factor
+    if latents_cached:
+        hr_lat = batch["hr_mean"] + jnp.exp(0.5 * batch["hr_logvar"]) * (
+            jax.random.normal(k1, batch["hr_mean"].shape, batch["hr_mean"].dtype)
+        )
+        lr_lat = batch["lr_mean"] + jnp.exp(0.5 * batch["lr_logvar"]) * (
+            jax.random.normal(k2, batch["lr_mean"].shape, batch["lr_mean"].dtype)
+        )
+        return hr_lat * scale, lr_lat * scale
+    hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
+    lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
+    hr_lat = vae.apply(frozen["vae"], hr_rgb, k1, method=vae.encode) * scale
+    lr_lat = vae.apply(frozen["vae"], lr_rgb, k2, method=vae.encode) * scale
+    return hr_lat, lr_lat
+
+
 def make_vae_train_step(vae, kl_weight: float = 1e-6) -> Callable:
     """AutoencoderKL training: reconstruction MSE + KL(q(z|x) || N(0, I)).
 
@@ -85,6 +115,7 @@ def make_vae_train_step(vae, kl_weight: float = 1e-6) -> Callable:
 def make_latent_base_train_step(
     unet, vae, sched: Schedule, prompt_embeds, empty_embeds=None,
     proportion_empty_prompts: float = 0.1, prediction_type: str = "epsilon",
+    latents_cached: bool = False,
 ) -> Callable:
     """BASE latent-diffusion training: gradients to the UNET itself.
 
@@ -99,11 +130,9 @@ def make_latent_base_train_step(
     @jax.jit
     def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
         k_enc1, k_enc2, k_diff, k_cfg = jax.random.split(key, 4)
-        hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
-        lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
-        scale = vae.scaling_factor
-        hr_lat = vae.apply(frozen["vae"], hr_rgb, k_enc1, method=vae.encode) * scale
-        lr_lat = vae.apply(frozen["vae"], lr_rgb, k_enc2, method=vae.encode) * scale
+        hr_lat, lr_lat = _encode_pair(
+            vae, frozen, batch, k_enc1, k_enc2, latents_cached
+        )
 
         x_t, t, eps = _diffused_batch(sched, hr_lat, lr_lat, k_diff)
         B = hr_lat.shape[0]
@@ -126,7 +155,7 @@ def make_latent_base_train_step(
 def make_controlnet_train_step(
     unet, controlnet, vae, sched: Schedule, prompt_embeds, empty_embeds=None,
     proportion_empty_prompts: float = 0.1, fused: bool | None = None,
-    prediction_type: str = "epsilon",
+    prediction_type: str = "epsilon", latents_cached: bool = False,
 ) -> Callable:
     """ControlNet fine-tuning: state.params = controlnet params.
 
@@ -153,11 +182,10 @@ def make_controlnet_train_step(
     @jax.jit
     def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
         k_enc1, k_enc2, k_diff, k_cfg = jax.random.split(key, 4)
-        hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
         lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
-        scale = vae.scaling_factor
-        hr_lat = vae.apply(frozen["vae"], hr_rgb, k_enc1, method=vae.encode) * scale
-        lr_lat = vae.apply(frozen["vae"], lr_rgb, k_enc2, method=vae.encode) * scale
+        hr_lat, lr_lat = _encode_pair(
+            vae, frozen, batch, k_enc1, k_enc2, latents_cached
+        )
 
         x_t, t, eps = _diffused_batch(sched, hr_lat, lr_lat, k_diff)
         B = hr_lat.shape[0]
@@ -193,18 +221,16 @@ def make_controlnet_train_step(
 def make_lora_train_step(
     unet, vae, sched: Schedule, prompt_embeds, base_unet_params,
     lora_alpha: float = 1.0, empty_embeds=None, proportion_empty_prompts: float = 0.1,
-    prediction_type: str = "epsilon",
+    prediction_type: str = "epsilon", latents_cached: bool = False,
 ) -> Callable:
     """LoRA fine-tuning: state.params = the LoRA (A, B) pytree."""
 
     @jax.jit
     def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
         k_enc1, k_enc2, k_diff, k_cfg = jax.random.split(key, 4)
-        hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
-        lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
-        scale = vae.scaling_factor
-        hr_lat = vae.apply(frozen["vae"], hr_rgb, k_enc1, method=vae.encode) * scale
-        lr_lat = vae.apply(frozen["vae"], lr_rgb, k_enc2, method=vae.encode) * scale
+        hr_lat, lr_lat = _encode_pair(
+            vae, frozen, batch, k_enc1, k_enc2, latents_cached
+        )
 
         x_t, t, eps = _diffused_batch(sched, hr_lat, lr_lat, k_diff)
         B = hr_lat.shape[0]
@@ -279,9 +305,34 @@ def make_vae_train_many(step: Callable) -> Callable:
     return many
 
 
+def make_latent_train_many_cached(step: Callable) -> Callable:
+    """Scanned K-step wrapper over a CACHED-LATENT training set.
+
+    ``many(state, frozen, arrays, idx, step_ids, key) -> (state, losses)``
+    where ``arrays`` is a dict of stacked per-image arrays (the
+    ``latents_cached=True`` batch keys: hr_mean/hr_logvar/lr_mean/
+    lr_logvar/lr); batch ``i`` gathers row ``idx[i]`` from every array.
+    Same dispatch-amortization and key walk as
+    :func:`make_latent_train_many`.
+    """
+
+    @jax.jit
+    def many(state, frozen, arrays, idx, step_ids, key):
+        def body(st, per):
+            ix, sid = per
+            batch = {k: v[ix] for k, v in arrays.items()}
+            st, m = step(st, frozen, batch, jax.random.fold_in(key, sid))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, (idx, step_ids))
+
+    return many
+
+
 def make_adapter_train_step(
     unet, adapter, vae, sched: Schedule, prompt_embeds, empty_embeds=None,
     proportion_empty_prompts: float = 0.1, prediction_type: str = "epsilon",
+    latents_cached: bool = False,
 ) -> Callable:
     """T2I-Adapter fine-tuning: state.params = adapter params.
 
@@ -296,11 +347,10 @@ def make_adapter_train_step(
     @jax.jit
     def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
         k_enc1, k_enc2, k_diff, k_cfg = jax.random.split(key, 4)
-        hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
         lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
-        scale = vae.scaling_factor
-        hr_lat = vae.apply(frozen["vae"], hr_rgb, k_enc1, method=vae.encode) * scale
-        lr_lat = vae.apply(frozen["vae"], lr_rgb, k_enc2, method=vae.encode) * scale
+        hr_lat, lr_lat = _encode_pair(
+            vae, frozen, batch, k_enc1, k_enc2, latents_cached
+        )
 
         x_t, t, eps = _diffused_batch(sched, hr_lat, lr_lat, k_diff)
         B = hr_lat.shape[0]
@@ -325,7 +375,7 @@ def make_cn_lora_train_step(
     unet, controlnet, vae, sched: Schedule, prompt_embeds, base_unet_params,
     lora_alpha: float = 1.0, empty_embeds=None,
     proportion_empty_prompts: float = 0.1, fused: bool | None = None,
-    prediction_type: str = "epsilon",
+    prediction_type: str = "epsilon", latents_cached: bool = False,
 ) -> Callable:
     """Combined ControlNet + LoRA fine-tuning — the reference notebook's
     actual configuration (``artificial_ds_lora_controlnet.ipynb``, stripped;
@@ -353,11 +403,10 @@ def make_cn_lora_train_step(
     @jax.jit
     def step(state: TrainState, frozen: dict, batch: dict, key: jax.Array):
         k_enc1, k_enc2, k_diff, k_cfg = jax.random.split(key, 4)
-        hr_rgb = jnp.repeat(batch["hr"], 3, axis=-1)
         lr_rgb = jnp.repeat(batch["lr"], 3, axis=-1)
-        scale = vae.scaling_factor
-        hr_lat = vae.apply(frozen["vae"], hr_rgb, k_enc1, method=vae.encode) * scale
-        lr_lat = vae.apply(frozen["vae"], lr_rgb, k_enc2, method=vae.encode) * scale
+        hr_lat, lr_lat = _encode_pair(
+            vae, frozen, batch, k_enc1, k_enc2, latents_cached
+        )
 
         x_t, t, eps = _diffused_batch(sched, hr_lat, lr_lat, k_diff)
         B = hr_lat.shape[0]
