@@ -247,7 +247,11 @@ def test_latent_volume_mesh_sharded_numeric(tmp_path, key):
     sharded = super_resolve_volume(pipe, src, None, mesh=make_mesh(8), **common)
     # latent output is RGB; driver keeps channel 0 semantics via restack on
     # [..., 0] — both paths go through the same restack, so compare volumes.
-    np.testing.assert_allclose(sharded.data, single.data, atol=1e-5, rtol=1e-5)
+    # atol 1e-4: the sharded program lowers differently from the
+    # single-device one and the 3-step chain + VAE decode amplifies the
+    # per-op reassociation noise past 1e-5 (same envelope as
+    # __graft_entry__ leg 5 and the fused-tower chain comparison).
+    np.testing.assert_allclose(sharded.data, single.data, atol=1e-4, rtol=1e-4)
 
 
 def test_latent_grouped_dispatch_matches_single(key):

@@ -67,7 +67,7 @@ def main():
     from flax import serialization
 
     from mrisr_tpu.diffusion.schedules import resdiff_schedule, spaced_timesteps
-    from mrisr_tpu.eval.parity import _phantom_batches, run_phantom_cnn
+    from mrisr_tpu.eval.parity import _phantom_batches
     from mrisr_tpu.models.resdiff_unet import ResDiffUNet
     from mrisr_tpu.pipelines.sampler import sr3_ancestral_sample
 
@@ -87,17 +87,39 @@ def main():
 
     # Held-out phantoms (same generator + seed0 as the parity run's test
     # set) and a freshly trained stage-1 CNN for a realistic condition.
+    # Trained with the plain per-step loop: run_phantom_cnn's scanned
+    # make_cnn_train_many program is pathologically slow to compile/run on
+    # this CPU at 256^2 (stalled two runs for >50 CPU-minutes each), and
+    # the twin only needs an in-distribution stage-1 cond, not the parity
+    # harness's exact trajectory.
     lr_te, hr_te = _phantom_batches(args.images, res, seed0=1000)
     if args.cnn_steps > 0:
-        cnn_res = run_phantom_cnn(steps=args.cnn_steps, res=res, n_train=32)
         from mrisr_tpu.models.simple_cnn import SimpleCNN
+        from mrisr_tpu.train.state import create_train_state, make_optimizer
+        from mrisr_tpu.train.steps import make_cnn_train_step
 
         cnn = SimpleCNN()
+        lr_tr, hr_tr = _phantom_batches(16, res)
+        st = create_train_state(
+            cnn.apply,
+            cnn.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 1))),
+            make_optimizer(1e-4),
+        )
+        step_fn = make_cnn_train_step(cnn)
+        lr_dev, hr_dev = jnp.asarray(lr_tr), jnp.asarray(hr_tr)
+        loss = float("nan")
+        for i in range(args.cnn_steps):
+            idx = np.random.default_rng(i).integers(0, len(lr_tr), 8)
+            st, m = step_fn(
+                st, {"lr": lr_dev[idx], "hr": hr_dev[idx]},
+                jax.random.fold_in(jax.random.PRNGKey(9), i),
+            )
+            loss = float(m["loss"])
         cond = np.asarray(
-            jax.jit(cnn.apply)(cnn_res["cnn_params"], jnp.asarray(lr_te))
+            jax.jit(cnn.apply)(st.params, jnp.asarray(lr_te))
         ).astype(np.float32)
         print(f"[twin] stage-1 CNN ready ({args.cnn_steps} steps, "
-              f"psnr={cnn_res['model']['psnr']:.2f})", flush=True)
+              f"final loss={loss:.5f}) at {time.time()-t0:.0f}s", flush=True)
     else:
         cond = lr_te.astype(np.float32)
 
